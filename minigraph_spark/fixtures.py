@@ -1,0 +1,136 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1-F5).
+
+All generators are seeded NumPy — no wall clock, no external data. The
+transcript generator matches the shape demanded by BASELINE.json input_hint
+(conv_id, turn_idx, role, text, tool, ts); the R-MAT generator mirrors the
+*behavior* of the reference's synthetic graph tool
+(reference: tools/graph_gen.cpp:66-243, quadrant-descent R-MAT) as a
+vectorized NumPy routine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TRANSCRIPT_SCHEMA
+
+_EPOCH = np.datetime64("2026-01-01T00:00:00")
+
+TOOLS = [f"tool_{i:02d}" for i in range(12)]
+
+# FIXTURES.md F3: the 5-vertex 7-edge example documented in the reference's
+# own partitioner doc comment (edge_cut_partitioner.h:31-37).
+TINY7_EDGES = [(0, 2), (0, 3), (1, 0), (3, 1), (3, 4), (4, 1), (4, 2)]
+TINY7_NUM_VERTICES = 5
+
+
+def make_transcripts_pdf(num_convs: int, seed: int = 42) -> pd.DataFrame:
+    """Synthesize a transcript table as pandas (FIXTURES.md F1).
+
+    Conversation lengths ~ 1 + Zipf(2.1) clipped to [1, 200]; roles cycle
+    user/assistant with p=0.15 tool turns after assistant turns; tool names
+    Zipf-weighted over 12 tools (creates hub vertices for tool-reference
+    edges); text is a deterministic token soup unique per (conv_id, turn_idx).
+    """
+    rng = np.random.default_rng(seed)
+    lengths = np.clip(1 + rng.zipf(2.1, size=num_convs), 1, 200).astype(np.int64)
+    total = int(lengths.sum())
+    conv_idx = np.repeat(np.arange(num_convs, dtype=np.int64), lengths)
+    # turn_idx = position within conversation
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    turn_idx = (np.arange(total, dtype=np.int64) - starts[conv_idx]).astype(np.int32)
+
+    # roles: even turn -> user, odd -> assistant; some assistant turns are
+    # followed by tool turns — emulate by marking p=0.15 of odd turns 'tool'.
+    is_odd = (turn_idx % 2) == 1
+    tool_mask = is_odd & (rng.random(total) < 0.15)
+    role = np.where(tool_mask, "tool", np.where(is_odd, "assistant", "user"))
+
+    # tool names with Zipf weights over 12 tools (hubs)
+    tool_ranks = np.arange(1, len(TOOLS) + 1, dtype=np.float64)
+    tool_probs = (1.0 / tool_ranks**1.5) / np.sum(1.0 / tool_ranks**1.5)
+    tool_choice = rng.choice(len(TOOLS), size=total, p=tool_probs)
+    tool = np.where(tool_mask, np.array(TOOLS)[tool_choice], None)
+
+    reps = 1 + rng.integers(0, 8, size=total)
+    text = [
+        (f"t{c:x}-{t:x} " * r).rstrip()
+        for c, t, r in zip(conv_idx, turn_idx, reps)
+    ]
+    ts = _EPOCH + np.arange(total).astype("timedelta64[s]") * 60
+
+    return pd.DataFrame(
+        {
+            "conv_id": [f"c{c:08d}" for c in conv_idx],
+            "turn_idx": turn_idx,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+
+
+def make_transcripts(spark: SparkSession, num_convs: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(make_transcripts_pdf(num_convs, seed), schema=TRANSCRIPT_SCHEMA)
+
+
+def make_rmat_edges_np(
+    power: int,
+    num_edges: int,
+    seed: int = 42,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    drop_self_loops: bool = True,
+) -> np.ndarray:
+    """Vectorized R-MAT: (num_edges, 2) int64 array over 2^power vertices.
+
+    Behavioral analog of the reference generator's recursive quadrant descent
+    (tools/graph_gen.cpp:66-243): at each of `power` levels choose a quadrant
+    with probs (a,b,c,d) and set one bit of src/dst accordingly. Self-loops
+    dropped to match partitioner behavior (edge_cut_partitioner.h:103);
+    duplicate edges kept.
+    """
+    rng = np.random.default_rng(seed)
+    u = rng.random((num_edges, power))
+    # quadrant thresholds: a | b | c | d
+    src_bit = (u >= a + b).astype(np.int64)  # quadrants c,d set the src bit
+    dst_bit = ((u >= a) & (u < a + b) | (u >= a + b + c)).astype(np.int64)  # b or d
+    weights = (1 << np.arange(power, dtype=np.int64))[::-1]
+    src = (src_bit * weights).sum(axis=1)
+    dst = (dst_bit * weights).sum(axis=1)
+    edges = np.stack([src, dst], axis=1)
+    if drop_self_loops:
+        edges = edges[edges[:, 0] != edges[:, 1]]
+    return edges
+
+
+def make_rmat_edges(
+    spark: SparkSession, power: int, num_edges: int, seed: int = 42
+) -> DataFrame:
+    e = make_rmat_edges_np(power, num_edges, seed)
+    pdf = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+    return spark.createDataFrame(pdf, schema="src long, dst long")
+
+
+def make_hub_edges_np(num_vertices: int, num_edges: int, seed: int = 42) -> np.ndarray:
+    """Zipf-hub skew fixture (FIXTURES.md F5): vertex 0 owns ~20% of in-edges.
+
+    Validates the salted two-phase combine — mirrors the motivation of the
+    reference's split-largest-bucket skew handling
+    (edge_cut_partitioner.h:280-296).
+    """
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_vertices, size=num_edges)
+    hub_mask = rng.random(num_edges) < 0.2
+    dst = np.where(hub_mask, 0, rng.integers(1, num_vertices, size=num_edges))
+    edges = np.stack([src, dst], axis=1).astype(np.int64)
+    return edges[edges[:, 0] != edges[:, 1]]
+
+
+def tiny7_edges(spark: SparkSession) -> DataFrame:
+    pdf = pd.DataFrame(TINY7_EDGES, columns=["src", "dst"])
+    return spark.createDataFrame(pdf, schema="src long, dst long")

@@ -1,0 +1,184 @@
+"""Partitioning, skew detection, and salted two-phase aggregation.
+
+Maps the reference's partitioner family onto Spark:
+
+- hash partition on src  = vertex-cut (reference:
+  utility/paritioner/vertex_cut_partitioner.h:79-117) — Spark's hash shuffle.
+- range partition on vid = edge-cut (edge_cut_partitioner.h:251-254).
+- 2D (src,dst) grid      = 2DVC partitioner (2DVC_partitioner.h:84-202).
+- split-the-heaviest-bucket skew handling (hybrid_cut_partitioner.h:162-260,
+  edge_cut_partitioner.h:280-391) = explicit salting of hub keys in the
+  combine: AQE's skew-join splitting covers joins but NOT aggregations, so
+  the two-phase salted groupBy here is the custom piece the north rule calls
+  "explicit skew splitting of hub vertices".
+
+At 100 TB: heavy-hitter detection is one pass over the edge table (cheap,
+done once, broadcast of the tiny hot-key set); the salted partial agg bounds
+any single reducer's input to |edges(hot key)| / num_salts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (spark_agg_partial, spark_agg_final) per combiner name — partial runs on
+# (key, salt) groups, final re-aggregates over key. All three reference
+# combiners write_min/write_max/write_add (utility/atomic.h:30-55) map to
+# algebraic Spark aggs, so two-phase is exact.
+_COMBINERS = {
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+}
+
+
+def heavy_hitters(
+    edges: DataFrame, key: str = "dst", min_count: int | None = None, top_n: int = 64
+) -> list[int]:
+    """Find hub vertices: keys whose in-degree exceeds ``min_count``
+    (default: 8x the mean degree), capped at ``top_n`` hottest.
+
+    One aggregation pass; the result is tiny and meant to be embedded as a
+    literal IN-list / broadcast. Mirrors the reference's
+    GetBucketWithMaxSumOfDegree scan (edge_cut_partitioner.h:283-295) but per
+    key instead of per bucket.
+    """
+    counts = edges.groupBy(key).count()
+    if min_count is None:
+        stats = counts.agg(
+            F.avg("count").alias("avg"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if stats["n"] == 0:
+            return []
+        min_count = max(int(stats["avg"] * 8), 1000)
+    rows = (
+        counts.filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"))
+        .limit(top_n)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    combiner: str,
+    hot_keys: list[int] | None,
+    num_salts: int = 32,
+    out: str = "agg",
+) -> DataFrame:
+    """Two-phase aggregation with salting restricted to hub keys.
+
+    Phase 1 groups by (key, salt) where salt spreads only hot keys (others
+    get salt 0 — no extra fan-out for the long tail); phase 2 merges the
+    per-salt partials. Exact for algebraic combiners; semantics identical to
+    a plain ``groupBy(key).agg``.
+    """
+    partial, final = _COMBINERS[combiner]
+    if not hot_keys:
+        return df.groupBy(key).agg(partial(value).alias(out))
+    salt = F.when(
+        F.col(key).isin(hot_keys),
+        F.pmod(F.xxhash64(F.col(value).cast("string"), F.lit(17)), F.lit(num_salts)),
+    ).otherwise(F.lit(0))
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(partial(value).alias("_partial"))
+    )
+    return phase1.groupBy(key).agg(final("_partial").alias(out))
+
+
+def mode_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    hot_keys: list[int] | None = None,
+    num_salts: int = 32,
+    out: str = "agg",
+) -> DataFrame:
+    """Most-frequent-value combiner (for classic LPA), ties broken by the
+    smallest value — deterministic, matching the oracle.
+
+    Not a Spark builtin with deterministic ties; built as salted
+    count-by-(key,value) followed by a windowless argmax:
+    max(struct(cnt, -value)) picks highest count then smallest value.
+    The reference has no mode combiner (its LPA-analog uses write_min);
+    SURVEY.md §2.4 derives LPA from the same skeleton.
+    """
+    # count per (key, value); salt spreads hot (key) groups — counting is
+    # algebraic so two-phase is exact.
+    base = df.select(key, value)
+    if hot_keys:
+        salt = F.when(
+            F.col(key).isin(hot_keys),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)),
+        ).otherwise(F.lit(0))
+        p1 = (
+            base.withColumn("_salt", salt)
+            .groupBy(key, value, "_salt")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        counts = p1.groupBy(key, value).agg(F.sum("_c").alias("cnt"))
+    else:
+        counts = base.groupBy(key, value).agg(F.count(F.lit(1)).alias("cnt"))
+    best = counts.groupBy(key).agg(
+        F.max(F.struct(F.col("cnt"), (-F.col(value)).alias("neg"))).alias("_b")
+    )
+    return best.select(F.col(key), (-F.col("_b.neg")).alias(out))
+
+
+def edge_cut_pid(vid: Column, num_vertices: int, k: int) -> Column:
+    """Contiguous-range partition id, parity with the reference edge-cut
+    assign rule gid = floor(vid / ceil(nv/k)) % k
+    (edge_cut_partitioner.h:251-254)."""
+    chunk = -(-num_vertices // k)  # ceil
+    return F.pmod(F.floor(vid / F.lit(chunk)), F.lit(k)).cast("int")
+
+
+def grid_pid_2d(src: Column, dst: Column, k1: int, k2: int) -> Column:
+    """2D (src,dst) grid partition id (2DVC_partitioner.h:84-202)."""
+    return (
+        F.pmod(F.xxhash64(src), F.lit(k1)) * k2 + F.pmod(F.xxhash64(dst), F.lit(k2))
+    ).cast("int")
+
+
+def prepartition_edges(
+    edges: DataFrame, num_partitions: int, by: str = "src", persist: bool = True
+) -> DataFrame:
+    """Hash-repartition the edge table by ``by`` once and persist — the
+    DataFrame analog of the reference's one-time graph_partition_exec step
+    (tools/graph_partition.cpp:98-134). Amortizes the edge-side shuffle
+    across all supersteps: the scatter join then reuses this partitioning.
+    On a real cluster this is a bucketed table write instead."""
+    out = edges.repartition(num_partitions, by)
+    if persist:
+        out = out.persist()
+    return out
+
+
+def border_vertices(edges: DataFrame, pid: Column) -> DataFrame:
+    """Vertices present in >= 2 partitions under a pid assignment — the
+    reference's border-vertex bitmap (immutable_csr.h:335-368) as a group-by
+    over distinct (vertex, pid) pairs. Returns (vid, num_partitions)."""
+    v_pid = (
+        edges.select(F.col("src").alias("vid"), pid.alias("pid"))
+        .unionAll(edges.select(F.col("dst").alias("vid"), pid.alias("pid")))
+        .distinct()
+    )
+    return (
+        v_pid.groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("num_partitions"))
+        .filter(F.col("num_partitions") >= 2)
+    )
+
+
+def communication_matrix(edges: DataFrame, src_pid: Column, dst_pid: Column) -> DataFrame:
+    """Partition-level dependency edges: distinct (pid_src, pid_dst) —
+    the reference's k x k boolean communication matrix
+    (edge_cut_partitioner.h:440-453), used there to shortcut loads."""
+    return edges.select(src_pid.alias("pid_src"), dst_pid.alias("pid_dst")).distinct()

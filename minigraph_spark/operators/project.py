@@ -1,0 +1,122 @@
+"""Transcript → link-graph projection (SURVEY.md §3.3; no reference analog —
+this surface is mandated by BASELINE.json input_hint).
+
+Input: transcript table (conv_id, turn_idx, role, text, tool, ts).
+Output: edge table (src, dst, kind, conv_id) where a vertex is a turn,
+identified by xxhash64(conv_id, turn_idx) (LongType — 10^12-turn scale
+exceeds 2^32, SURVEY.md §1.2).
+
+Edge kinds:
+- 'seq'  : turn i -> turn i+1 within a conversation (window lead over
+           (conv_id) ordered by turn_idx — one shuffle on conv_id, no join).
+- 'tool' : tool turn -> later turns in the same conversation that reference
+           the same tool, fan-out capped (Zipf tool distribution still
+           yields hub vertices downstream).
+
+Scale notes: both projections shuffle ONLY on conv_id (conversations are
+small: window state is bounded by max turns/conv), so the plan is one hash
+exchange + per-group sort — no global sort, no driver collection. The tool
+self-join is within (conv_id, tool) groups, also bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import PROJECTED_EDGE_SCHEMA
+
+
+def turn_vid(conv_id="conv_id", turn_idx="turn_idx"):
+    """Stable 64-bit vertex id for a turn."""
+    return F.xxhash64(F.col(conv_id), F.col(turn_idx))
+
+
+def transcript_vertices(transcripts: DataFrame) -> DataFrame:
+    """Vertex table carrying turn attributes, for invariant checks and
+    score joins: (vid, conv_id, turn_idx, role, text, tool, ts)."""
+    return transcripts.withColumn("vid", turn_vid())
+
+
+def seq_edges(transcripts: DataFrame) -> DataFrame:
+    """Sequential turn->turn edges via window lead (axis-B projection)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            turn_vid().alias("src"),
+            F.lead(turn_vid()).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst", F.lit("seq").alias("kind"), "conv_id")
+    )
+
+
+def tool_edges(transcripts: DataFrame, max_fanout: int = 16) -> DataFrame:
+    """Tool-reference edges: each tool turn -> up to ``max_fanout`` later
+    turns in the same conversation using the same tool."""
+    tools = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "tool", F.col("turn_idx").alias("src_turn"), turn_vid().alias("src")
+    )
+    later = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "tool", F.col("turn_idx").alias("dst_turn"), turn_vid().alias("dst")
+    )
+    joined = tools.join(later, on=["conv_id", "tool"]).filter(
+        F.col("dst_turn") > F.col("src_turn")
+    )
+    w = Window.partitionBy("conv_id", "tool", "src_turn").orderBy("dst_turn")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_fanout)
+        .select("src", "dst", F.lit("tool").alias("kind"), "conv_id")
+    )
+
+
+def project_edges(transcripts: DataFrame, with_tool_edges: bool = True,
+                  max_fanout: int = 16) -> DataFrame:
+    """Full projection: seq + tool edges, PROJECTED_EDGE_SCHEMA."""
+    e = seq_edges(transcripts)
+    if with_tool_edges:
+        e = e.unionAll(tool_edges(transcripts, max_fanout))
+    assert [f.name for f in PROJECTED_EDGE_SCHEMA.fields] == e.columns
+    return e
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected closure: union of both directions, deduped, self-loops
+    dropped (self-loop filter parity: edge_cut_partitioner.h:103)."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionAll(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def roundtrip_check(transcripts: DataFrame) -> bool:
+    """Per-row invariant from BASELINE.json input_hint: projecting
+    transcripts -> graph -> back must preserve per-turn text under stable
+    (conv_id, turn_idx) ordering.
+
+    Reconstructs (conv_id, turn_idx, text) from the vertex table reachable
+    through the projected edges' endpoints plus isolated single-turn
+    conversations, and anti-joins against the input — zero diffs = pass.
+    """
+    verts = transcript_vertices(transcripts).select("vid", "conv_id", "turn_idx", "text")
+    edges = project_edges(transcripts)
+    endpoint_vids = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    # turns present in the graph
+    graph_turns = verts.join(endpoint_vids, "vid").select("conv_id", "turn_idx", "text")
+    # single-turn conversations produce no edges; they remain vertices by definition
+    singletons = (
+        transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 1)
+        .join(transcripts, "conv_id")
+        .select("conv_id", "turn_idx", "text")
+    )
+    reconstructed = graph_turns.unionAll(singletons).distinct()
+    original = transcripts.select("conv_id", "turn_idx", "text").distinct()
+    missing = original.exceptAll(reconstructed).count()
+    extra = reconstructed.exceptAll(original).count()
+    return missing == 0 and extra == 0

@@ -1,0 +1,200 @@
+"""The superstep engine — PIE model re-expressed as one Catalyst plan per
+iteration (SURVEY.md §3.1, §4).
+
+The reference runs PEval/IncEval kernels per fragment with a shared
+global message array and atomic min/max/add combiners
+(reference: minigraph/2d_pie/auto_app_base.h:39-63, auto_map.h:92-177,
+message push/pull wcc_vc_batch.cpp:42-95, combiners utility/atomic.h:30-55).
+Here each superstep is:
+
+    scatter:  msgs = f(edges ⋈ active-state)        -> (dst, msg)
+    combine:  agg  = salted groupBy(dst).{min|max|sum|mode}(msg)
+    apply:    state' = g(state ⟕ agg)               -> (vid, value, active)
+
+all in ONE Catalyst plan with ONE data shuffle (the combine; the scatter
+join reuses the edge table's persisted hash partitioning). Convergence is a
+driver-side count — the Aggregate-hook analog (auto_app_base.h:56-63). The
+FSM / queues / schedulers of the reference (minigraph_sys.h:42-207) have no
+port target: Spark's DAG scheduler owns those decisions.
+
+Scale design (100 TB): edges are hash-partitioned ONCE and persisted
+(prepartition_edges) so the per-iteration scatter join is co-located on the
+edge side; messages shuffle on dst with map-side partial aggregation (the
+write_min analog is exactly Catalyst's partial agg); hub vertices are salted
+(operators/partition.py); lineage is truncated every iteration via
+localCheckpoint and durable parquet snapshots every `checkpoint_every`
+iterations make any run resumable (checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import checkpoint as ckpt
+from .partition import heavy_hitters, mode_agg, prepartition_edges, salted_agg
+
+ScatterFn = Callable[[DataFrame, DataFrame, dict], DataFrame]
+ApplyFn = Callable[[DataFrame, DataFrame, dict], DataFrame]
+PrepareFn = Callable[[DataFrame, dict], dict]
+
+
+@dataclass
+class IterationMetrics:
+    iteration: int
+    num_active: int
+    num_changed: int
+    num_messages: int
+    elapsed_sec: float
+    checkpointed: bool
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    metrics: list[IterationMetrics] = field(default_factory=list)
+    iterations: int = 0
+    converged: bool = False
+
+    @property
+    def total_sec(self) -> float:
+        return sum(m.elapsed_sec for m in self.metrics)
+
+
+class SuperstepEngine:
+    """Generic scatter-combine-apply driver over a fixed edge table.
+
+    Parameters
+    ----------
+    edges : (src, dst) DataFrame; pre-partitioned by src and persisted here.
+    num_partitions : hash-partition count for the edge table (defaults to
+        spark.sql.shuffle.partitions).
+    salt_skew : detect hub dst keys once and salt the combine for them.
+    checkpoint_dir / checkpoint_every : durable snapshot cadence; None
+        disables durable snapshots (lineage is still truncated in memory).
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        num_partitions: int | None = None,
+        salt_skew: bool = True,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        lineage_cut_every: int = 3,
+    ):
+        spark = edges.sparkSession
+        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.spark = spark
+        self.edges = prepartition_edges(edges.select("src", "dst"), n, by="src")
+        self.num_partitions = n
+        self.hot_keys = heavy_hitters(self.edges, "dst") if salt_skew else []
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.lineage_cut_every = lineage_cut_every
+
+    def vertices(self) -> DataFrame:
+        """Distinct vertex ids of the edge table (A8 analog:
+        tools/get_statistics.cpp:71-90 bitmap popcount)."""
+        return (
+            self.edges.select(F.col("src").alias("vid"))
+            .unionAll(self.edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+
+    def run(
+        self,
+        init_state: DataFrame,
+        scatter: ScatterFn,
+        combiner: str | Callable[[DataFrame], DataFrame],
+        apply_fn: ApplyFn,
+        prepare: PrepareFn | None = None,
+        frontier: bool = True,
+        max_iter: int = 100,
+        stop_when_unchanged: bool = True,
+        resume: bool = True,
+        algo: str = "superstep",
+    ) -> SuperstepResult:
+        """Run supersteps until fixpoint (no vertex changed) or max_iter.
+
+        init_state must have (vid, value, active) — `active` marks the
+        frontier (reference Bitmap analog, utility/bitmap.h). `scatter`
+        sees only active vertices when frontier=True (the bitmap-guarded
+        loop of auto_map.h:136,186). `apply_fn` must emit (vid, value,
+        active) where active means "changed this superstep".
+        """
+        start_iter = 0
+        state = init_state
+        if resume and self.checkpoint_dir:
+            found = ckpt.load_snapshot(self.spark, self.checkpoint_dir)
+            if found is not None:
+                start_iter = found[0] + 1
+                state = found[1]
+        state = state.persist()
+        state.count()  # materialize
+
+        result = SuperstepResult(state=state)
+        for it in range(start_iter, max_iter):
+            t0 = time.time()
+            ctx: dict = {"iteration": it, "num_partitions": self.num_partitions}
+            if prepare is not None:
+                ctx.update(prepare(state, ctx))
+
+            src_state = state.filter(F.col("active")) if frontier else state
+            msgs = scatter(self.edges, src_state, ctx)
+            if callable(combiner):
+                agg = combiner(msgs)
+            elif combiner == "mode":
+                agg = mode_agg(msgs, "dst", "msg", self.hot_keys)
+            else:
+                agg = salted_agg(msgs, "dst", "msg", combiner, self.hot_keys)
+
+            new_state = apply_fn(state, agg, ctx)
+            if it % self.lineage_cut_every == self.lineage_cut_every - 1:
+                # localCheckpoint truncates lineage AND persists — don't
+                # stack a second persist on top of it
+                new_state = new_state.localCheckpoint(eager=False)
+            else:
+                new_state = new_state.persist()
+
+            counts = new_state.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("active").cast("long")).alias("changed"),
+            ).collect()[0]
+            num_changed = int(counts["changed"] or 0)
+
+            checkpointed = False
+            if self.checkpoint_dir and (
+                it % self.checkpoint_every == self.checkpoint_every - 1
+                or (stop_when_unchanged and num_changed == 0)
+            ):
+                ckpt.write_snapshot(
+                    new_state, self.checkpoint_dir, it,
+                    extra={"algo": algo, "num_changed": num_changed},
+                )
+                checkpointed = True
+
+            m = IterationMetrics(
+                iteration=it,
+                num_active=num_changed,
+                num_changed=num_changed,
+                num_messages=-1,  # not counted by default (extra action)
+                elapsed_sec=time.time() - t0,
+                checkpointed=checkpointed,
+            )
+            result.metrics.append(m)
+            if self.checkpoint_dir:
+                ckpt.append_metrics(self.checkpoint_dir, m.__dict__)
+
+            state.unpersist()
+            state = new_state
+            result.state = state
+            result.iterations = it + 1
+            if stop_when_unchanged and num_changed == 0:
+                result.converged = True
+                break
+        return result

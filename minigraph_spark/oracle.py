@@ -1,0 +1,195 @@
+"""Pure-NumPy golden oracles (FIXTURES.md F7, SURVEY.md §2.4).
+
+These are the correctness references for the Spark plans. Each mirrors the
+exact update rule of the corresponding reference app (file:line cited) but in
+plain dense NumPy on small fixtures. networkx is used opportunistically when
+installed (it is not required).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _relabel(edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Map arbitrary int64 ids to dense 0..n-1; returns (dense_edges, ids)."""
+    ids = np.unique(edges)
+    dense = np.searchsorted(ids, edges)
+    return dense, ids
+
+
+def pagerank_standard(
+    edges: np.ndarray,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+) -> dict[int, float]:
+    """Standard damped PageRank: out-degree normalized, teleport, dangling
+    mass redistributed uniformly. Synchronous power iteration until
+    max |r' - r| <= tol. Returns {vid: rank} summing to 1."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    src, dst = dense[:, 0], dense[:, 1]
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        incoming = np.bincount(dst, weights=contrib[src], minlength=n)
+        dangling = r[outdeg == 0].sum()
+        r_new = (1 - alpha) / n + alpha * (incoming + dangling / n)
+        if np.max(np.abs(r_new - r)) <= tol:
+            r = r_new
+            break
+        r = r_new
+    return {int(ids[i]): float(r[i]) for i in range(n)}
+
+
+def pagerank_minigraph(
+    edges: np.ndarray,
+    gamma: float = 0.01,
+    epsilon: float = 0.001,
+    max_iter: int = 50,
+) -> dict[int, float]:
+    """The reference's literal update rule in float space (SURVEY.md §2.4):
+    next(v) = gamma * mean(rank[u] for u in in(v)); update only when
+    (rank[v]-next)^2 > epsilon; init rank=1
+    (reference: apps/cpp/pr_vc.cpp:33-63 — we keep floats instead of the
+    unsigned truncation, per the survey's resolution note). Synchronous
+    Jacobi sweeps; vertices with no in-edges keep their value (the C++
+    divides by zero there; we define mean over empty = no update)."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    src, dst = dense[:, 0], dense[:, 1]
+    indeg = np.bincount(dst, minlength=n).astype(np.float64)
+    r = np.ones(n, dtype=np.float64)
+    for _ in range(max_iter):
+        sums = np.bincount(dst, weights=r[src], minlength=n)
+        nxt = np.where(indeg > 0, gamma * sums / np.maximum(indeg, 1), r)
+        changed = (r - nxt) ** 2 > epsilon
+        if not changed.any():
+            break
+        r = np.where(changed, nxt, r)
+    return {int(ids[i]): float(r[i]) for i in range(n)}
+
+
+def wcc_labels(edges: np.ndarray) -> dict[int, int]:
+    """Weakly-connected components as min-vertex-id labels over the
+    undirected closure (reference semantics: wcc hash-min propagation,
+    apps/cpp/wcc_vc_batch.cpp:23-26 init label=vid + write_min exchange;
+    true WCC requires symmetrized edges, SURVEY.md §2.4 A2 note)."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in dense:
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    roots = np.array([find(i) for i in range(n)])
+    # label = min global id in component
+    min_label: dict[int, int] = {}
+    for i in range(n):
+        r = int(roots[i])
+        g = int(ids[i])
+        if r not in min_label or g < min_label[r]:
+            min_label[r] = g
+    return {int(ids[i]): min_label[int(roots[i])] for i in range(n)}
+
+
+def directed_minlabel(edges: np.ndarray, max_iter: int = 10_000) -> dict[int, int]:
+    """Directed min-label propagation fixpoint: label(dst) <- min over
+    in-neighbors (reference: wcc_vc_stream.cpp:43-71 kernel_update
+    write_min(global[dst], global[src]))."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    src, dst = dense[:, 0], dense[:, 1]
+    label = ids.astype(np.int64).copy()
+    for _ in range(max_iter):
+        # groupBy(dst).min(label[src]) then elementwise min
+        incoming = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(incoming, dst, label[src])
+        new = np.minimum(label, incoming)
+        if np.array_equal(new, label):
+            break
+        label = new
+    return {int(ids[i]): int(label[i]) for i in range(n)}
+
+
+def lpa_labels(
+    edges: np.ndarray, max_iter: int = 20, symmetrize: bool = True
+) -> dict[int, int]:
+    """Classic synchronous label propagation: each vertex adopts the most
+    frequent label among its neighbors, ties broken by min label; label only
+    changes if a strictly-better (more frequent, or equal-frequent smaller)
+    label exists. Derived from the reference's propagate-combine skeleton
+    (wcc_vc_stream.cpp:43-71) with combiner mode instead of min
+    (SURVEY.md §2.4 'missing-from-reference' note). Deterministic."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    e = dense
+    if symmetrize:
+        e = np.concatenate([e, e[:, ::-1]], axis=0)
+    # dedupe
+    e = np.unique(e, axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    src, dst = e[:, 0], e[:, 1]
+    label = ids.astype(np.int64).copy()
+    for _ in range(max_iter):
+        new = label.copy()
+        for v in range(n):
+            nbr_labels = label[src[dst == v]]
+            if len(nbr_labels) == 0:
+                continue
+            vals, counts = np.unique(nbr_labels, return_counts=True)
+            best = vals[counts == counts.max()].min()
+            new[v] = best
+        if np.array_equal(new, label):
+            break
+        label = new
+    return {int(ids[i]): int(label[i]) for i in range(n)}
+
+
+def triangle_count(edges: np.ndarray) -> int:
+    """Exact triangle count on the undirected simple closure (SURVEY.md
+    §2.4: canonical relational two-self-join formulation)."""
+    dense, _ = _relabel(edges)
+    e = dense[dense[:, 0] != dense[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    und = set(zip(lo.tolist(), hi.tolist()))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)  # a < b: oriented adjacency
+    count = 0
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            count += len(nbrs & adj.get(b, set()))
+    return count
+
+
+def bfs_dist(edges: np.ndarray, root: int) -> dict[int, int]:
+    """Directed unit-weight BFS levels (reference SSSP hardcodes weight 1 —
+    apps/cpp/sssp_vc_stream.cpp:25-28; unreachable vertices omitted)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    verts = set()
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+        verts.add(int(s))
+        verts.add(int(d))
+    dist = {root: 0}
+    q = deque([root])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist

@@ -1,0 +1,58 @@
+"""Label propagation (classic most-frequent-label LPA).
+
+Derived from the reference's propagate-combine skeleton
+(apps/cpp/wcc_vc_stream.cpp:43-71) with the combiner swapped from write_min
+to mode (SURVEY.md §2.4 'missing-from-reference' note). Deterministic:
+synchronous updates, ties broken by the smallest label — matches
+oracle.lpa_labels exactly.
+
+The mode combiner is not a Spark builtin with deterministic ties; it is the
+salted count-by-(dst,label) + windowless argmax in operators/partition.py
+(mode_agg) — two small shuffles, both partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.project import symmetrize
+from ..operators.superstep import SuperstepEngine, SuperstepResult
+
+
+def run_lpa(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    engine_kwargs: dict | None = None,
+) -> SuperstepResult:
+    """Synchronous LPA on the undirected simple closure.
+
+    Returns state (vid, value=label). Note LPA may oscillate on bipartite
+    structures under synchronous updates; max_iter bounds that, matching the
+    oracle's fixed-sweep semantics.
+    """
+    und = symmetrize(edges)
+    eng = SuperstepEngine(und, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {}))
+    init = eng.vertices().select(
+        "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
+    )
+
+    def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+        return e.join(
+            state.select(F.col("vid").alias("src"), "value"), "src"
+        ).select("dst", F.col("value").alias("msg"))
+
+    def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+        joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+        new_val = F.coalesce(F.col("agg"), F.col("value"))
+        return joined.select(
+            "vid",
+            new_val.alias("value"),
+            (new_val != F.col("value")).alias("active"),
+        )
+
+    return eng.run(
+        init, scatter=scatter, combiner="mode", apply_fn=apply_fn,
+        frontier=False, max_iter=max_iter, algo="lpa",
+    )

@@ -1,0 +1,131 @@
+"""PageRank — two variants (SURVEY.md §2.4 semantics note).
+
+variant="standard": classic damped PageRank — alpha=0.85, out-degree
+normalized contributions, teleport, dangling mass redistributed uniformly,
+synchronous power iteration to max|Δ| <= tol.
+
+variant="minigraph": the reference's literal float-space rule
+(apps/cpp/pr_vc.cpp:33-63): next(v) = gamma * mean(rank of in-neighbors),
+update only when (rank-next)^2 > epsilon, init rank=1. (The reference
+additionally truncates to unsigned on write — pr_vc.cpp:52; we keep floats
+per the survey's resolution, since the truncation is an artifact of its
+32-bit vdata storage, not query semantics.)
+
+Both are synchronous Jacobi sweeps: every superstep recomputes from the full
+state (frontier=False), ONE sum-shuffle per iteration, hub dst keys salted.
+The dangling-mass scalar (standard variant) is a one-row driver aggregate per
+iteration — the Aggregate-hook analog (auto_app_base.h:56-63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.superstep import SuperstepEngine, SuperstepResult
+
+
+def run_pagerank(
+    edges: DataFrame,
+    variant: str = "standard",
+    alpha: float = 0.85,
+    gamma: float = 0.01,
+    epsilon: float = 0.001,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    engine_kwargs: dict | None = None,
+) -> SuperstepResult:
+    """Returns state (vid, value=rank). standard ranks sum to 1."""
+    eng = SuperstepEngine(
+        edges.select("src", "dst"), checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+    )
+    verts = eng.vertices()
+
+    if variant == "standard":
+        outdeg = eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        n = verts.count()
+        init = (
+            verts.join(outdeg.withColumnRenamed("src", "vid"), "vid", "left")
+            .select(
+                "vid",
+                F.lit(1.0 / n).alias("value"),
+                F.lit(True).alias("active"),
+                F.col("outdeg").cast("double").alias("outdeg"),
+            )
+        )
+
+        def prepare(state: DataFrame, ctx: dict) -> dict:
+            dangling = (
+                state.filter(F.col("outdeg").isNull())
+                .agg(F.sum("value").alias("d"))
+                .collect()[0]["d"]
+            )
+            return {"dangling": float(dangling or 0.0)}
+
+        def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+            contrib = state.filter(F.col("outdeg").isNotNull()).select(
+                F.col("vid").alias("src"), (F.col("value") / F.col("outdeg")).alias("c")
+            )
+            return e.join(contrib, "src").select("dst", F.col("c").alias("msg"))
+
+        def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+            new_val = (
+                F.lit((1 - alpha) / n)
+                + F.lit(alpha)
+                * (F.coalesce(F.col("agg"), F.lit(0.0)) + F.lit(ctx["dangling"] / n))
+            )
+            return (
+                state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+                .select(
+                    "vid",
+                    new_val.alias("value"),
+                    (F.abs(new_val - F.col("value")) > tol).alias("active"),
+                    "outdeg",
+                )
+            )
+
+        return eng.run(
+            init, scatter=scatter, combiner="sum", apply_fn=apply_fn,
+            prepare=prepare, frontier=False, max_iter=max_iter, algo="pagerank",
+        )
+
+    if variant == "minigraph":
+        indeg = eng.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+        init = (
+            verts.join(indeg.withColumnRenamed("dst", "vid"), "vid", "left")
+            .select(
+                "vid",
+                F.lit(1.0).alias("value"),
+                F.lit(True).alias("active"),
+                F.col("indeg").cast("double").alias("indeg"),
+            )
+        )
+
+        def scatter_mg(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+            return e.join(
+                state.select(F.col("vid").alias("src"), "value"), "src"
+            ).select("dst", F.col("value").alias("msg"))
+
+        def apply_mg(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+            nxt = F.when(
+                F.col("indeg").isNotNull(),
+                F.lit(gamma) * F.col("agg") / F.col("indeg"),
+            ).otherwise(F.col("value"))
+            changed = (F.col("value") - nxt) * (F.col("value") - nxt) > F.lit(epsilon)
+            return (
+                state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+                .select(
+                    "vid",
+                    F.when(changed, nxt).otherwise(F.col("value")).alias("value"),
+                    changed.alias("active"),
+                    "indeg",
+                )
+            )
+
+        return eng.run(
+            init, scatter=scatter_mg, combiner="sum", apply_fn=apply_mg,
+            frontier=False, max_iter=max_iter, algo="pagerank_minigraph",
+        )
+
+    raise ValueError(f"unknown variant {variant!r}")

@@ -1,0 +1,64 @@
+"""Graph statistics & degree operators.
+
+Reference parity: J1 degree count (two atomic-add passes,
+edge_cut_partitioner.h:94-117), A6 statistics aggregation
+(tools/get_statistics.cpp:19-163), A8 distinct-vertex count via bitmap
+popcount (get_statistics.cpp:71-90, bitmap.h:135-148). All are single
+groupBy/agg plans — Catalyst's partial aggregation is the atomic-add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(vid, in_degree, out_degree) — full outer merge of the two passes."""
+    return (
+        out_degrees(edges)
+        .join(in_degrees(edges), "vid", "full_outer")
+        .select(
+            "vid",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+    )
+
+
+def distinct_vertex_count(edges: DataFrame, approx: bool = False) -> DataFrame:
+    v = edges.select(F.col("src").alias("vid")).unionAll(
+        edges.select(F.col("dst").alias("vid"))
+    )
+    if approx:
+        return v.agg(F.approx_count_distinct("vid").alias("num_vertices"))
+    return v.distinct().agg(F.count(F.lit(1)).alias("num_vertices"))
+
+
+def graph_statistics(edges: DataFrame) -> DataFrame:
+    """One-row summary matching the reference's .statistic output fields
+    (get_statistics.cpp:19-163): edge count, vertex count, max vid,
+    max/avg in/out degree."""
+    d = degrees(edges)
+    deg_stats = d.agg(
+        F.count(F.lit(1)).alias("num_vertices"),
+        F.max("vid").alias("max_vid"),
+        F.max("in_degree").alias("max_in_degree"),
+        F.max("out_degree").alias("max_out_degree"),
+        F.avg("in_degree").alias("avg_in_degree"),
+        F.avg("out_degree").alias("avg_out_degree"),
+    )
+    num_edges = edges.agg(F.count(F.lit(1)).alias("num_edges"))
+    return num_edges.crossJoin(deg_stats)

@@ -1,0 +1,72 @@
+"""Weakly connected components — hash-min label propagation to fixpoint.
+
+Reference semantics: init label=vid, exchange min labels until no change
+(apps/cpp/wcc_vc_batch.cpp:23-26 kernel_init, :42-95 push/pull with
+write_min, :139-148 fixpoint loop). True WCC needs the undirected closure
+(SURVEY.md §2.4 A2 note), so we symmetrize first; `directed_minlabel` keeps
+the raw directed propagation for parity with wcc_vc_stream.cpp:43-71.
+
+Per superstep: ONE shuffle (the min-combine); the scatter join reuses the
+persisted hash partitioning of the edge table. Frontier-driven: only
+vertices whose label changed last round send messages (the reference's
+in_visited bitmap guard, 2d_pie/auto_map.h:136).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.project import symmetrize
+from ..operators.superstep import SuperstepEngine, SuperstepResult
+
+
+def _scatter_label(edges: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+    return edges.join(
+        state.select(F.col("vid").alias("src"), "value"), "src"
+    ).select("dst", F.col("value").alias("msg"))
+
+
+def _apply_min(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+    joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+    improved = F.col("agg").isNotNull() & (F.col("agg") < F.col("value"))
+    return joined.select(
+        "vid",
+        F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value"),
+        improved.alias("active"),
+    )
+
+
+def run_wcc(
+    edges: DataFrame,
+    directed: bool = False,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    engine_kwargs: dict | None = None,
+) -> SuperstepResult:
+    """Min-label propagation; returns state (vid, value=component label).
+
+    directed=False (default): true WCC on the symmetrized graph.
+    directed=True: the reference's literal directed min-label fixpoint.
+    """
+    graph = edges.select("src", "dst") if directed else symmetrize(edges)
+    eng = SuperstepEngine(graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {}))
+    init = eng.vertices().select(
+        "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
+    )
+    return eng.run(
+        init,
+        scatter=_scatter_label,
+        combiner="min",
+        apply_fn=_apply_min,
+        frontier=True,
+        max_iter=max_iter,
+        algo="wcc_directed" if directed else "wcc",
+    )
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    """(label, size) — the usual reporting face of WCC."""
+    return labels.groupBy(F.col("value").alias("label")).agg(
+        F.count(F.lit(1)).alias("size")
+    )

@@ -1,0 +1,71 @@
+import numpy as np
+
+from minigraph_spark import oracle
+from minigraph_spark.fixtures import TINY7_EDGES, make_rmat_edges_np, tiny7_edges
+from minigraph_spark.plans.bfs import run_bfs
+from minigraph_spark.plans.lpa import run_lpa
+from minigraph_spark.plans.triangles import per_vertex_triangles, triangle_count
+from tests.conftest import labels_dict
+
+
+def _spark_edges(spark, arr):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(arr, columns=["src", "dst"]), schema="src long, dst long"
+    )
+
+
+def test_lpa_tiny7(spark):
+    res = run_lpa(tiny7_edges(spark), max_iter=20)
+    got = labels_dict(res.state)
+    want = oracle.lpa_labels(np.array(TINY7_EDGES), max_iter=20)
+    assert got == want
+
+
+def test_lpa_two_cliques(spark):
+    # two 4-cliques bridged by one edge — LPA should keep two communities
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    arr = np.array(clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)])
+    res = run_lpa(_spark_edges(spark, arr), max_iter=20)
+    got = labels_dict(res.state)
+    want = oracle.lpa_labels(arr, max_iter=20)
+    assert got == want
+
+
+def test_bfs_tiny7(spark):
+    res = run_bfs(tiny7_edges(spark), root=0)
+    got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
+    want = oracle.bfs_dist(TINY7_EDGES, root=0)
+    assert got == want
+    # FIXTURES.md F3 golden distances
+    assert [got[i] for i in range(5)] == [0, 2, 1, 1, 2]
+
+
+def test_bfs_rmat(spark):
+    arr = make_rmat_edges_np(power=7, num_edges=500, seed=11)
+    root = int(arr[0, 0])
+    res = run_bfs(_spark_edges(spark, arr), root=root)
+    got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
+    want = oracle.bfs_dist(arr.tolist(), root=root)
+    assert got == want
+
+
+def test_triangles_tiny7(spark):
+    n = triangle_count(tiny7_edges(spark)).collect()[0]["num_triangles"]
+    want = oracle.triangle_count(np.array(TINY7_EDGES))
+    assert n == want
+
+
+def test_triangles_rmat(spark):
+    arr = make_rmat_edges_np(power=7, num_edges=800, seed=13)
+    df = _spark_edges(spark, arr)
+    n = triangle_count(df).collect()[0]["num_triangles"]
+    n_noorder = triangle_count(df, by_degree=False).collect()[0]["num_triangles"]
+    want = oracle.triangle_count(arr)
+    assert n == want == n_noorder
+    per_v = per_vertex_triangles(df)
+    total = sum(r["triangles"] for r in per_v.collect())
+    assert total == 3 * want

@@ -1,0 +1,49 @@
+import numpy as np
+
+from minigraph_spark import oracle
+from minigraph_spark.fixtures import TINY7_EDGES, make_rmat_edges_np, tiny7_edges
+from minigraph_spark.plans.pagerank import run_pagerank
+from tests.conftest import labels_dict
+
+
+def _spark_edges(spark, arr):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(arr, columns=["src", "dst"]), schema="src long, dst long"
+    )
+
+
+def _assert_allclose(got: dict, want: dict, atol=1e-6):
+    assert set(got) == set(want)
+    g = np.array([got[k] for k in sorted(got)])
+    w = np.array([want[k] for k in sorted(want)])
+    np.testing.assert_allclose(g, w, rtol=0, atol=atol)
+
+
+def test_pagerank_standard_tiny7(spark):
+    res = run_pagerank(tiny7_edges(spark), tol=1e-9, max_iter=300)
+    want = oracle.pagerank_standard(np.array(TINY7_EDGES), tol=1e-12, max_iter=500)
+    _assert_allclose(labels_dict(res.state), want)
+    # ranks sum to 1
+    assert abs(sum(labels_dict(res.state).values()) - 1.0) < 1e-6
+
+
+def test_pagerank_standard_rmat(spark):
+    arr = make_rmat_edges_np(power=7, num_edges=600, seed=3)
+    res = run_pagerank(_spark_edges(spark, arr), tol=1e-9, max_iter=300)
+    want = oracle.pagerank_standard(arr, tol=1e-12, max_iter=500)
+    _assert_allclose(labels_dict(res.state), want)
+
+
+def test_pagerank_minigraph_tiny7(spark):
+    res = run_pagerank(tiny7_edges(spark), variant="minigraph")
+    want = oracle.pagerank_minigraph(np.array(TINY7_EDGES))
+    _assert_allclose(labels_dict(res.state), want)
+
+
+def test_pagerank_minigraph_rmat(spark):
+    arr = make_rmat_edges_np(power=7, num_edges=600, seed=5)
+    res = run_pagerank(_spark_edges(spark, arr), variant="minigraph")
+    want = oracle.pagerank_minigraph(arr)
+    _assert_allclose(labels_dict(res.state), want)
