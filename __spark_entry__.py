@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry() is the flagship smoke query; queries()/oracle_sql() expose every
+implemented operator's relational face over the driver testdata, each with
+an exact DuckDB oracle where ANSI-SQL-expressible (see
+minigraph_spark/relational.py; to-convergence iterative queries are
+rows-only by design and covered by the NumPy-oracle pytest suite).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from minigraph_spark import relational  # noqa: E402
+from minigraph_spark.plans.pagerank import run_pagerank  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the per-user sequential event graph at
+    sf0.001 (the transcript->edge projection's relational face), 20
+    synchronous supersteps."""
+    edges = relational.events_seq_edges(spark, "/root/testdata/sf0.001")
+    res = run_pagerank(edges, tol=1e-9, max_iter=20,
+                       engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.round("value", 9).alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(relational.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(relational.ORACLE_SQL)

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (vec_id, embedding:array<float>).
+
+Brute-force cosine top-k is the exact baseline (SQL-oracle-checkable);
+the LSH-bucketed variant (random hyperplane signs) is the scale path —
+candidates are generated only within matching buckets, turning O(n*m) into
+O(n*m/2^planes) expected. Embedding dot products stay JVM-side via
+zip_with/aggregate on double arrays (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_sim(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank) — exact brute-force top-k cosine.
+
+    `queries` is broadcast (it is the small side by construction); the
+    corpus streams. rank is dense by (sim desc, neighbor_id asc) —
+    deterministic under ties.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) — sign-bit LSH bucket from seeded random hyperplanes.
+
+    Planes are generated driver-side (seeded, deterministic) and embedded as
+    array literals — they are tiny (num_planes x dim doubles), so the dot
+    products run inside whole-stage codegen, no UDF, no join.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (plus nothing else — recall is tested on fixtures, not assumed).
+    Same output schema as cosine_topk."""
+    eb = hyperplane_buckets(embeddings, num_planes, dim, seed, id_col, vec_col)
+    qb = hyperplane_buckets(queries, num_planes, dim, seed, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).join(qb.withColumnRenamed("vec_id", "query_id"), "query_id")
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).join(eb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim) — embedding-cosine near-duplicate pairs (exact
+    all-pairs; at scale use hyperplane_buckets to block first)."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,542 @@
+"""Relational faces of the engine's operators over the driver testdata
+(FIXTURES.md F6): every entry here powers __spark_entry__.queries() and has
+an exact DuckDB oracle in ORACLE_SQL (same column names, same values) unless
+listed in ROWS_ONLY (genuinely iterative-to-convergence ops).
+
+Edge tables derived deterministically from the driver tables:
+- seq edges : per-user event chains (window lead over (user_id, ts,
+  event_id)) — the transcript->graph projection's relational face.
+- mod graph : DISTINCT (event_id % M, (event_id*7 + user_id) % M) — a dense
+  deterministic digraph on M=200 vertices for the algorithm suite.
+- snr graph : supplier->nation->region keys (5 components, one per region).
+
+Fixed-iteration variants (pagerank3, lpa2) exist because to-convergence
+loops are not ANSI-SQL-expressible; the SQL oracles unroll the exact same
+synchronous update rule, so value equality checks the engine's update rule,
+and the *converged* variants are covered by the NumPy-oracle pytest suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.compaction import compact_ids_window, distinct_vertices
+from .operators.dedup import (
+    exact_dedup_keep_min,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    text_fingerprint,
+)
+from .operators.similarity import cosine_topk
+from .operators.textops import lang_id, quality_score, token_count, token_stats
+from .plans.bfs import run_bfs
+from .plans.lpa import run_lpa
+from .plans.pagerank import run_pagerank
+from .plans.stats import degrees, distinct_vertex_count, graph_statistics
+from .plans.triangles import triangle_count
+from .plans.wcc import component_sizes, run_wcc
+
+MOD = 200  # vertex-space size of the mod graph
+
+
+# ---------------------------------------------------------------- loaders
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_seq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequential event edges — the §3.3 projection over events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_id").alias("src"),
+            F.lead("event_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+SEQ_SQL = """
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+"""
+
+
+def mod_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("event_id") % MOD).alias("src")
+    dst = ((F.col("event_id") * 7 + F.col("user_id")) % MOD).alias("dst")
+    return ev.select(src, dst).filter(F.col("src") != F.col("dst")).distinct()
+
+
+MOD_SQL = f"""
+  SELECT DISTINCT (event_id % {MOD}) AS src,
+                  ((event_id * 7 + user_id) % {MOD}) AS dst
+  FROM events
+  WHERE (event_id % {MOD}) != ((event_id * 7 + user_id) % {MOD})
+"""
+
+
+def snr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1000).cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + 100).alias("dst"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + 100).alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    return sup.unionAll(nat)
+
+
+SNR_SQL = """
+  SELECT s_suppkey + 1000 AS src, CAST(s_nationkey AS BIGINT) + 100 AS dst FROM supplier
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) + 100 AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
+"""
+
+
+# ------------------------------------------------------- SQL generators
+def _pagerank3_sql(iters: int = 3, alpha: float = 0.85) -> str:
+    parts = [
+        f"WITH edges AS ({MOD_SQL}),",
+        "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "outdeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),",
+        "r0 AS (SELECT v, (SELECT 1.0/n FROM nn) AS r FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k-1}"
+        parts.append(f"""
+dang{k} AS (SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {p} p
+            LEFT JOIN outdeg od ON od.v = p.v WHERE od.v IS NULL),
+inc{k} AS (SELECT e.dst AS v, SUM(p.r / od.deg) AS s
+           FROM edges e JOIN {p} p ON p.v = e.src JOIN outdeg od ON od.v = e.src
+           GROUP BY e.dst),
+r{k} AS (SELECT v.v,
+           (1 - {alpha}) / nn.n + {alpha} * (COALESCE(i.s, 0.0) + dang{k}.d / nn.n) AS r
+         FROM verts v CROSS JOIN nn CROSS JOIN dang{k}
+         LEFT JOIN inc{k} i ON i.v = v.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
+
+
+def _pagerank_minigraph3_sql(iters: int = 3, gamma: float = 0.01, eps: float = 0.001) -> str:
+    parts = [
+        f"WITH edges AS ({MOD_SQL}),",
+        "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
+        "indeg AS (SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY dst),",
+        "r0 AS (SELECT v, 1.0 AS r FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k-1}"
+        parts.append(f"""
+inc{k} AS (SELECT e.dst AS v, SUM(p.r) AS s FROM edges e JOIN {p} p ON p.v = e.src GROUP BY e.dst),
+r{k} AS (SELECT p.v,
+           CASE WHEN ind.deg IS NOT NULL
+                     AND (p.r - {gamma} * i.s / ind.deg) * (p.r - {gamma} * i.s / ind.deg) > {eps}
+                THEN {gamma} * i.s / ind.deg ELSE p.r END AS r
+         FROM {p} p
+         LEFT JOIN indeg ind ON ind.v = p.v
+         LEFT JOIN inc{k} i ON i.v = p.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
+
+
+def _lpa2_sql(iters: int = 2) -> str:
+    parts = [
+        f"WITH edges AS ({MOD_SQL}),",
+        "und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),",
+        "verts AS (SELECT src AS v FROM und UNION SELECT dst FROM und),",
+        "l0 AS (SELECT v, v AS lab FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(f"""
+cnt{k} AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+           FROM und e JOIN {p} l ON l.v = e.src GROUP BY e.dst, l.lab),
+best{k} AS (SELECT v, MIN(lab) AS lab FROM (
+              SELECT v, lab, c, MAX(c) OVER (PARTITION BY v) AS mx FROM cnt{k}
+            ) WHERE c = mx GROUP BY v),
+l{k} AS (SELECT p.v, COALESCE(b.lab, p.lab) AS lab
+         FROM {p} p LEFT JOIN best{k} b ON b.v = p.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, lab AS label FROM l{iters}"
+
+
+_WCC_SNR_SQL = f"""
+WITH RECURSIVE
+e0 AS ({SNR_SQL}),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, r.m FROM reach r JOIN und u ON u.src = r.v
+),
+labels AS (SELECT v, MIN(m) AS label FROM reach GROUP BY v)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM labels GROUP BY label
+"""
+
+_BFS_MOD_SQL = f"""
+WITH RECURSIVE
+edges AS ({MOD_SQL}),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+root AS (SELECT MIN(v) AS rv FROM verts),
+walk(v, d) AS (
+  SELECT rv, CAST(0 AS BIGINT) FROM root
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 250
+)
+SELECT v AS vid, MIN(d) AS dist FROM walk GROUP BY v
+"""
+
+_TRI_MOD_SQL = f"""
+WITH edges AS ({MOD_SQL}),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+ord_e AS (SELECT src, dst FROM und WHERE src < dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS num_triangles
+FROM ord_e ab JOIN ord_e bc ON bc.src = ab.dst
+JOIN ord_e ac ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+_MD5H = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+positions AS (SELECT doc_id, text, ts,
+                unnest(range(1, CASE WHEN len(ts) <= 5 THEN 2 ELSE len(ts) - 3 END)) AS i
+              FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+         CASE WHEN len(ts) <= 5 THEN text
+              ELSE array_to_string(ts[i:i+4], ' ') END AS shingle
+       FROM positions)
+"""
+
+_MINHASH_SQL = (
+    "WITH " + _SHINGLE_CTE + ",\nsigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN({_MD5H.format(expr=repr(str(s)+':') + ' || shingle')}) AS h{s}"
+        for s in range(4)
+    )
+    + " FROM sh GROUP BY doc_id)\nSELECT doc_id, h0, h1, h2, h3 FROM sigs"
+)
+
+_LSH_PAIRS_SQL = (
+    "WITH " + _SHINGLE_CTE + ",\nsigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN({_MD5H.format(expr=repr(str(s)+':') + ' || shingle')}) AS h{s}"
+        for s in range(4)
+    )
+    + """ FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) AS bucket FROM sigs)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+)
+
+_NGRAM_JACCARD_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+"""
+)
+
+_SIMHASH_SQL = (
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (SELECT doc_id, """
+    + _MD5H.format(expr="t")
+    + """ AS h FROM tok),
+sums AS (SELECT doc_id, """
+    + ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16)
+    )
+    + " FROM h GROUP BY doc_id)\nSELECT doc_id, CAST("
+    + " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    + " AS BIGINT) AS simhash FROM sums"
+)
+
+_ANN_TOPK_SQL = """
+WITH ce AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nr FROM ce GROUP BY vec_id),
+qe AS (SELECT vec_id AS query_id, x, i FROM ce WHERE vec_id < 10),
+dots AS (SELECT q.query_id, c.vec_id AS neighbor_id, SUM(q.x * c.x) AS dot
+         FROM qe q JOIN ce c ON q.i = c.i
+         WHERE c.vec_id != q.query_id
+         GROUP BY 1, 2),
+sims AS (SELECT d.query_id, d.neighbor_id, d.dot / (nq.nr * nc.nr) AS sim
+         FROM dots d
+         JOIN norms nq ON nq.vec_id = d.query_id
+         JOIN norms nc ON nc.vec_id = d.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------------------ queries map
+def _q_seq_edges(spark, sf_dir):
+    return events_seq_edges(spark, sf_dir)
+
+
+def _q_degree_out(spark, sf_dir):
+    e = events_seq_edges(spark, sf_dir)
+    return e.groupBy(F.col("src").alias("vid")).agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def _q_degrees(spark, sf_dir):
+    return degrees(events_seq_edges(spark, sf_dir))
+
+
+def _q_distinct_vertex_count(spark, sf_dir):
+    return distinct_vertex_count(events_seq_edges(spark, sf_dir))
+
+
+def _q_graph_stats(spark, sf_dir):
+    s = graph_statistics(events_seq_edges(spark, sf_dir))
+    return s.select(
+        "num_edges", "num_vertices", "max_vid", "max_in_degree", "max_out_degree",
+        F.round("avg_in_degree", 6).alias("avg_in_degree"),
+        F.round("avg_out_degree", 6).alias("avg_out_degree"),
+    )
+
+
+def _q_vertex_compaction(spark, sf_dir):
+    return compact_ids_window(distinct_vertices(events_seq_edges(spark, sf_dir)))
+
+
+def _q_triangles(spark, sf_dir):
+    return triangle_count(mod_edges(spark, sf_dir))
+
+
+def _q_pagerank3(spark, sf_dir):
+    res = run_pagerank(mod_edges(spark, sf_dir), tol=0.0, max_iter=3,
+                       engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.round("value", 6).alias("rank"))
+
+
+def _q_pagerank_minigraph3(spark, sf_dir):
+    res = run_pagerank(mod_edges(spark, sf_dir), variant="minigraph", max_iter=3,
+                       engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.round("value", 6).alias("rank"))
+
+
+def _q_lpa2(spark, sf_dir):
+    res = run_lpa(mod_edges(spark, sf_dir), max_iter=2,
+                  engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.col("value").alias("label"))
+
+
+def _q_wcc_snr(spark, sf_dir):
+    res = run_wcc(snr_edges(spark, sf_dir), engine_kwargs={"salt_skew": False})
+    return component_sizes(res.state)
+
+
+def _q_bfs_mod(spark, sf_dir):
+    e = mod_edges(spark, sf_dir)
+    root = e.select(F.least(F.min("src"), F.min("dst")).alias("r")).collect()[0]["r"]
+    res = run_bfs(e, root=int(root), engine_kwargs={"salt_skew": False})
+    return res.state.filter(F.col("value").isNotNull()).select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return text_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_keep_min(spark, sf_dir):
+    return exact_dedup_keep_min(_t(spark, sf_dir, "documents"))
+
+
+def _q_minhash(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark, sf_dir):
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# rows-only (to-convergence; covered by NumPy oracles in pytest)
+def _q_pagerank_converged(spark, sf_dir):
+    res = run_pagerank(mod_edges(spark, sf_dir), tol=1e-6, max_iter=200,
+                       engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.round("value", 6).alias("rank"))
+
+
+def _q_wcc_seq_converged(spark, sf_dir):
+    res = run_wcc(events_seq_edges(spark, sf_dir), engine_kwargs={"salt_skew": False})
+    return component_sizes(res.state)
+
+
+QUERIES = {
+    "seq_edge_projection": _q_seq_edges,
+    "degree_out": _q_degree_out,
+    "degrees": _q_degrees,
+    "distinct_vertex_count": _q_distinct_vertex_count,
+    "graph_stats": _q_graph_stats,
+    "vertex_compaction": _q_vertex_compaction,
+    "triangle_count_mod": _q_triangles,
+    "pagerank3_mod": _q_pagerank3,
+    "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
+    "lpa2_mod": _q_lpa2,
+    "wcc_components_snr": _q_wcc_snr,
+    "bfs_mod": _q_bfs_mod,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "exact_dedup_keep_min": _q_dedup_keep_min,
+    "minhash_signatures": _q_minhash,
+    "minhash_lsh_pairs": _q_lsh_pairs,
+    "ngram_jaccard_dup": _q_ngram_jaccard,
+    "simhash": _q_simhash,
+    "token_count": _q_token_count,
+    "token_stats": _q_token_stats,
+    "quality_score": _q_quality,
+    "lang_id": _q_lang_id,
+    "ann_cosine_topk": _q_ann_topk,
+    "pagerank_mod_converged": _q_pagerank_converged,
+    "wcc_seq_converged": _q_wcc_seq_converged,
+}
+
+ORACLE_SQL = {
+    "seq_edge_projection": SEQ_SQL,
+    "degree_out": f"SELECT src AS vid, COUNT(*) AS out_degree FROM ({SEQ_SQL}) GROUP BY src",
+    "degrees": f"""
+      WITH seq AS ({SEQ_SQL}),
+      outd AS (SELECT src AS vid, COUNT(*) AS od FROM seq GROUP BY src),
+      ind AS (SELECT dst AS vid, COUNT(*) AS id_ FROM seq GROUP BY dst)
+      SELECT COALESCE(o.vid, i.vid) AS vid,
+             COALESCE(i.id_, 0) AS in_degree,
+             COALESCE(o.od, 0) AS out_degree
+      FROM outd o FULL OUTER JOIN ind i ON o.vid = i.vid
+    """,
+    "distinct_vertex_count": f"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS num_vertices FROM (
+        SELECT src AS v FROM ({SEQ_SQL}) UNION SELECT dst FROM ({SEQ_SQL}))
+    """,
+    "graph_stats": f"""
+      WITH seq AS ({SEQ_SQL}),
+      outd AS (SELECT src AS vid, COUNT(*) AS od FROM seq GROUP BY src),
+      ind AS (SELECT dst AS vid, COUNT(*) AS id_ FROM seq GROUP BY dst),
+      deg AS (SELECT COALESCE(o.vid, i.vid) AS vid,
+                     COALESCE(i.id_, 0) AS in_degree, COALESCE(o.od, 0) AS out_degree
+              FROM outd o FULL OUTER JOIN ind i ON o.vid = i.vid)
+      SELECT (SELECT COUNT(*) FROM seq) AS num_edges,
+             COUNT(*) AS num_vertices, MAX(vid) AS max_vid,
+             MAX(in_degree) AS max_in_degree, MAX(out_degree) AS max_out_degree,
+             ROUND(AVG(in_degree), 6) AS avg_in_degree,
+             ROUND(AVG(out_degree), 6) AS avg_out_degree
+      FROM deg
+    """,
+    "vertex_compaction": f"""
+      WITH verts AS (SELECT src AS vid FROM ({SEQ_SQL}) UNION SELECT dst FROM ({SEQ_SQL}))
+      SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS dense_id FROM verts
+    """,
+    "triangle_count_mod": _TRI_MOD_SQL,
+    "pagerank3_mod": _pagerank3_sql(),
+    "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
+    "lpa2_mod": _lpa2_sql(),
+    "wcc_components_snr": _WCC_SNR_SQL,
+    "bfs_mod": _BFS_MOD_SQL,
+    "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+    "exact_dedup_keep_min": """
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+    "minhash_signatures": _MINHASH_SQL,
+    "minhash_lsh_pairs": _LSH_PAIRS_SQL,
+    "ngram_jaccard_dup": _NGRAM_JACCARD_SQL,
+    "simhash": _SIMHASH_SQL,
+    "token_count": """
+      SELECT doc_id,
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS BIGINT)
+             AS n_tokens
+      FROM documents
+    """,
+    "token_stats": """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct_tokens,
+             ROUND(AVG(length(t)), 6) AS avg_token_len
+      FROM tok GROUP BY doc_id
+    """,
+    "quality_score": """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      agg AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT t) AS nd,
+                     SUM(CASE WHEN t IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS nstop
+              FROM tok GROUP BY doc_id)
+      SELECT doc_id,
+             ROUND(CAST(nd AS DOUBLE) / n, 6) AS ttr,
+             ROUND(CAST(nstop AS DOUBLE) / n, 6) AS stopword_ratio,
+             ROUND(0.7 * (CAST(nd AS DOUBLE) / n)
+                   + 0.3 * (1.0 - ABS(CAST(nstop AS DOUBLE) / n - 0.4)), 6) AS quality
+      FROM agg
+    """,
+    "lang_id": """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      agg AS (SELECT doc_id,
+                SUM(CASE WHEN t IN ('the','a','of','and') THEN 1 ELSE 0 END) AS c_en,
+                SUM(CASE WHEN t IN ('query','row','column','table') THEN 1 ELSE 0 END) AS c_qy
+              FROM tok GROUP BY doc_id)
+      SELECT doc_id,
+             CASE WHEN c_qy > 0 AND c_qy > c_en THEN 'qy'
+                  WHEN c_en > 0 AND c_en > c_qy THEN 'en'
+                  ELSE 'und' END AS lang_pred
+      FROM agg
+    """,
+    "ann_cosine_topk": _ANN_TOPK_SQL,
+    # pagerank_mod_converged, wcc_seq_converged: rows-only by design
+}
+
+ROWS_ONLY = {"pagerank_mod_converged", "wcc_seq_converged"}
