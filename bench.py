@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "edges_per_sec_per_iter": ...}
+
+Headline metric context (BASELINE.md): edges/sec per PageRank iteration to
+1e-6 convergence on a deterministic R-MAT graph (seeded, synthesized
+in-memory — the sandbox stand-in for the 10^9-edge scale target). Scaling
+efficiency across two parallelism levels is measured by bench_scaling.py
+(separate JVMs per level) and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from minigraph_spark import relational  # noqa: E402
+from minigraph_spark.fixtures import make_rmat_edges  # noqa: E402
+from minigraph_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from minigraph_spark.operators.similarity import cosine_topk  # noqa: E402
+from minigraph_spark.plans.lpa import run_lpa  # noqa: E402
+from minigraph_spark.plans.pagerank import run_pagerank  # noqa: E402
+from minigraph_spark.plans.triangles import triangle_count  # noqa: E402
+from minigraph_spark.plans.wcc import run_wcc  # noqa: E402
+from minigraph_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RMAT_POWER = int(os.environ.get("SPARK_GRAFT_RMAT_POWER", "19"))
+RMAT_EDGES = int(os.environ.get("SPARK_GRAFT_RMAT_EDGES", "2000000"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("minigraph_spark_bench", shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> object:
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- testdata-derived graph (events seq projection, SURVEY.md §3.3) ---
+    seq = relational.events_seq_edges(spark, SF_DIR).persist()
+    timed("project_seq_edges", seq.count)
+
+    timed(
+        "pagerank_events",
+        lambda: run_pagerank(seq, tol=1e-6, max_iter=50).iterations,
+    )
+    timed("wcc_events", lambda: run_wcc(seq).iterations)
+    timed("lpa5_events", lambda: run_lpa(seq, max_iter=5).iterations)
+
+    # --- deterministic R-MAT graph: the scale headline -------------------
+    rmat = make_rmat_edges(spark, RMAT_POWER, RMAT_EDGES, seed=42)
+    n_edges = timed("rmat_materialize", rmat.persist().count)
+
+    t0 = time.time()
+    pr = run_pagerank(rmat, tol=1e-6, max_iter=30)
+    pr_sec = time.time() - t0
+    timings["pagerank_rmat"] = round(pr_sec, 3)
+    iters = max(pr.iterations, 1)
+    extras["pagerank_rmat_iterations"] = iters
+    extras["edges_per_sec_per_iter"] = round(n_edges * iters / pr_sec, 1)
+
+    timed("wcc_rmat", lambda: run_wcc(rmat).iterations)
+    timed("triangles_rmat", lambda: triangle_count(rmat).collect())
+
+    # --- training-data pipeline operators --------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "ann_cosine_topk",
+        lambda: cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total headline-query wall time (PageRank/WCC/LPA/"
+                "triangles on events-seq + R-MAT graphs, dedup, ANN)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+                "rmat_edges": n_edges,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

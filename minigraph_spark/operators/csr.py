@@ -1,0 +1,208 @@
+"""Per-partition CSR blocks inside vectorized Arrow UDFs, with local
+sub-iterations before each global message exchange.
+
+This is the DataFrame-native port of the reference's fragment pipeline: each
+hash partition of the edge table plays the role of a MiniGraph fragment
+(reference: minigraph/graphs/immutable_csr.h:82-164 CSR layout —
+globalid_by_index / degree / offset / edge sections built by prefix sums);
+the UDF rebuilds the same struct-of-arrays locally from Arrow buffers with
+np.unique / argsort / cumsum, then runs the PEval inner loop
+(apps/cpp/wcc_vc_batch.cpp:139-148: iterate the kernel to LOCAL fixpoint
+before exchanging border messages) so that one global shuffle round does the
+work of many. On top of the local contraction, each global round applies one
+pointer-jumping (path-halving) step on the label forest — label(v) :=
+label(label(v)) — so convergence is O(log n) global rounds even when hash
+partitioning scatters long paths across fragments (where the reference's
+contiguous-range fragments would contract them locally,
+edge_cut_partitioner.h:251-254; hashed 64-bit vertex ids have no usable
+range locality, so the jump step replaces that).
+
+The local/global id dance of the reference (immutable_csr.h:319-327,
+SURVEY.md §1.4) is exactly `np.unique(..., return_inverse=True)` here.
+
+Applicability: local sub-iteration is semantics-preserving only for
+idempotent, commutative, monotone combiners (min/max — WCC, directed
+min-label, BFS-class). PageRank's sum-gather must stay globally synchronous
+(one gather per superstep), and Catalyst's join + partial-agg is already the
+idiomatic scale path for a single gather — so PageRank keeps the pure
+DataFrame plan (plans/pagerank.py) and the CSR path earns its shuffle
+savings on the propagation family.
+
+Scale: partitions hold |E|/P edges; the UDF is O(edges) memory in int64
+NumPy arrays (at 10^9 edges and P=2000, ~8 MB-per-column blocks). All per-row
+work is vectorized — no per-row Python anywhere (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .project import symmetrize
+from .superstep import IterationMetrics, SuperstepResult
+
+
+def build_csr_block(src: np.ndarray, dst: np.ndarray):
+    """Build an in-edge CSR block from COO arrays.
+
+    Returns (verts, offsets, in_src, src_local, dst_local):
+    - verts: sorted distinct global vertex ids in the block
+    - offsets: int64[len(verts)+1] prefix-sum of in-degrees
+    - in_src: local src id of each in-edge, grouped by destination
+    - src_local/dst_local: local ids of the input COO edges
+
+    Parity: the 8-section CSR blob of the reference (immutable_csr.h:82-164)
+    minus the sections Spark makes redundant (membership bitmap, vdata/edata
+    arrays travel as DataFrame columns). localid<->globalid maps
+    (immutable_csr.h:319-327) are `verts` (local->global) and the implicit
+    `return_inverse` (global->local).
+    """
+    verts, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    src_local = inv[: src.size]
+    dst_local = inv[src.size :]
+    order = np.argsort(dst_local, kind="stable")
+    in_src = src_local[order]
+    indeg = np.bincount(dst_local, minlength=verts.size)
+    offsets = np.zeros(verts.size + 1, dtype=np.int64)
+    np.cumsum(indeg, out=offsets[1:])
+    return verts, offsets, in_src, src_local, dst_local
+
+
+def _minlabel_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One fragment's PEval/IncEval: CSR build + min-label sweeps to local
+    fixpoint, emitting (vid, value) border proposals."""
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    slab = pdf["src_label"].to_numpy(np.int64)
+    dlab = pdf["dst_label"].to_numpy(np.int64)
+    verts, offsets, in_src, src_local, dst_local = build_csr_block(src, dst)
+
+    # seed local state with the min incoming label per vertex (write_min
+    # analog, utility/atomic.h:30-38)
+    lab = np.full(verts.size, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(lab, src_local, slab)
+    np.minimum.at(lab, dst_local, dlab)
+
+    indeg_nz = (offsets[1:] - offsets[:-1]) > 0
+    starts = offsets[:-1][indeg_nz]
+    # local fixpoint: gather min over in-neighbors via reduceat on the CSR
+    # (the inner ActiveEMap loop, wcc_vc_batch.cpp:139-148)
+    while starts.size:
+        gathered = np.minimum.reduceat(lab[in_src], starts)
+        new = lab.copy()
+        new[indeg_nz] = np.minimum(lab[indeg_nz], gathered)
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pd.DataFrame({"vid": verts, "value": lab})
+
+
+def run_wcc_csr(
+    edges: DataFrame,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    max_rounds: int = 60,
+) -> SuperstepResult:
+    """WCC via per-partition CSR blocks + local sub-iterations.
+
+    Semantics identical to plans/wcc.run_wcc (min-label to fixpoint); far
+    fewer global rounds on long-path graphs. Each round: attach current
+    labels to both endpoints (two co-partitioned joins), applyInPandas per
+    hash(src) fragment, global min-combine, driver-side changed count.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    graph = edges.select("src", "dst") if directed else symmetrize(edges)
+    e = (
+        graph.withColumn("pid", F.pmod(F.xxhash64("src"), F.lit(p)).cast("int"))
+        .repartition(p, "pid")
+        .persist()
+    )
+    labels = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").alias("value"))
+        .persist()
+    )
+    labels.count()
+
+    result = SuperstepResult(state=labels)
+    for rnd in range(max_rounds):
+        t0 = time.time()
+        work = (
+            e.join(
+                labels.select(F.col("vid").alias("src"), F.col("value").alias("src_label")),
+                "src",
+            ).join(
+                labels.select(F.col("vid").alias("dst"), F.col("value").alias("dst_label")),
+                "dst",
+            )
+        )
+        proposals = work.groupBy("pid").applyInPandas(
+            _minlabel_block, schema="vid long, value long"
+        )
+        agg = proposals.groupBy("vid").agg(F.min("value").alias("new_value"))
+        # persisted: the pointer-jump self-join below references cand twice —
+        # unpersisted, each round would recompute the whole upstream
+        # (applyInPandas included) twice and work doubles per round
+        cand = (
+            labels.join(agg, "vid", "left")
+            .select(
+                "vid",
+                F.col("value").alias("_old"),
+                F.least(F.col("value"), F.coalesce("new_value", "value")).alias("value"),
+            )
+            .persist()
+        )
+        # pointer jump (path halving): labels are vertex ids, so chase one
+        # hop through the label forest — monotone (labels only decrease
+        # toward the component min), safe to apply every round
+        jump = cand.select(F.col("vid").alias("_jv"), F.col("value").alias("_jparent"))
+        # persist + materialize BEFORE localCheckpoint: localCheckpoint's
+        # LogicalRDD rewrites stats from the origin plan, and a self-join
+        # SQUARES sizeInBytes every round — after ~20 rounds Catalyst
+        # multiplies megabyte-sized BigIntegers for minutes per round. With
+        # the frame cached first, the rewrite reads the InMemoryRelation's
+        # REAL size instead. localCheckpoint still truncates lineage.
+        merged = (
+            cand.join(jump, cand["value"] == jump["_jv"], "left")
+            .select(
+                "vid",
+                "_old",
+                F.least(F.col("value"), F.coalesce("_jparent", "value")).alias("value"),
+            )
+            .persist()
+        )
+        changed = int(
+            merged.agg(
+                F.sum((F.col("value") < F.col("_old")).cast("long")).alias("c")
+            ).collect()[0]["c"]
+            or 0
+        )
+        truncated = merged.localCheckpoint(eager=True)
+        merged.unpersist()
+        cand.unpersist()
+        labels.unpersist()
+        labels = truncated.select("vid", "value")
+        result.state = labels
+        result.iterations = rnd + 1
+        result.metrics.append(
+            IterationMetrics(
+                iteration=rnd,
+                num_active=changed,
+                num_changed=changed,
+                num_messages=-1,
+                elapsed_sec=time.time() - t0,
+                checkpointed=False,
+            )
+        )
+        if changed == 0:
+            result.converged = True
+            break
+    e.unpersist()
+    return result

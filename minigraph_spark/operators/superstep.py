@@ -153,19 +153,26 @@ class SuperstepEngine:
             else:
                 agg = salted_agg(msgs, "dst", "msg", combiner, self.hot_keys)
 
-            new_state = apply_fn(state, agg, ctx)
-            if it % self.lineage_cut_every == self.lineage_cut_every - 1:
-                # localCheckpoint truncates lineage AND persists — don't
-                # stack a second persist on top of it
-                new_state = new_state.localCheckpoint(eager=False)
-            else:
-                new_state = new_state.persist()
+            new_state = apply_fn(state, agg, ctx).persist()
 
             counts = new_state.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("active").cast("long")).alias("changed"),
             ).collect()[0]
             num_changed = int(counts["changed"] or 0)
+
+            if it % self.lineage_cut_every == self.lineage_cut_every - 1:
+                # localCheckpoint AFTER the cache is materialized: its
+                # LogicalRDD rewrites stats from the origin plan, and plans
+                # that reference `state` twice (scatter + apply) SQUARE
+                # sizeInBytes per round — unchecked, Catalyst ends up
+                # multiplying astronomically large BigIntegers after ~20
+                # lineage cuts. A materialized cache makes the rewrite read
+                # the InMemoryRelation's real size; checkpoint still
+                # truncates both lineage and the logical plan.
+                truncated = new_state.localCheckpoint(eager=True)
+                new_state.unpersist()
+                new_state = truncated
 
             checkpointed = False
             if self.checkpoint_dir and (

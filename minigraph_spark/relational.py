@@ -356,6 +356,13 @@ def _q_wcc_snr(spark, sf_dir):
     return component_sizes(res.state)
 
 
+def _q_wcc_csr_snr(spark, sf_dir):
+    from .operators.csr import run_wcc_csr
+
+    res = run_wcc_csr(snr_edges(spark, sf_dir), num_partitions=8)
+    return component_sizes(res.state)
+
+
 def _q_bfs_mod(spark, sf_dir):
     e = mod_edges(spark, sf_dir)
     root = e.select(F.least(F.min("src"), F.min("dst")).alias("r")).collect()[0]["r"]
@@ -434,6 +441,7 @@ QUERIES = {
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
     "wcc_components_snr": _q_wcc_snr,
+    "wcc_csr_components_snr": _q_wcc_csr_snr,
     "bfs_mod": _q_bfs_mod,
     "doc_fingerprint": _q_doc_fingerprint,
     "exact_dedup_keep_min": _q_dedup_keep_min,
@@ -489,6 +497,7 @@ ORACLE_SQL = {
     "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
     "lpa2_mod": _lpa2_sql(),
     "wcc_components_snr": _WCC_SNR_SQL,
+    "wcc_csr_components_snr": _WCC_SNR_SQL,
     "bfs_mod": _BFS_MOD_SQL,
     "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
     "exact_dedup_keep_min": """
