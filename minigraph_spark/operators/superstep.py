@@ -113,6 +113,7 @@ class SuperstepEngine:
         combiner: str | Callable[[DataFrame], DataFrame],
         apply_fn: ApplyFn,
         prepare: PrepareFn | None = None,
+        extra_agg: dict | None = None,
         frontier: bool = True,
         max_iter: int = 100,
         stop_when_unchanged: bool = True,
@@ -126,6 +127,12 @@ class SuperstepEngine:
         sees only active vertices when frontier=True (the bitmap-guarded
         loop of auto_map.h:136,186). `apply_fn` must emit (vid, value,
         active) where active means "changed this superstep".
+
+        extra_agg maps name -> Column; each is evaluated over the state in
+        the SAME per-iteration counts action (no extra Spark job) and the
+        previous iteration's values are available to scatter/apply via
+        ctx[name] — the Aggregate-hook analog (auto_app_base.h:56-63) for
+        driver-side scalars like PageRank's dangling mass.
         """
         start_iter = 0
         state = init_state
@@ -137,10 +144,21 @@ class SuperstepEngine:
         state = state.persist()
         state.count()  # materialize
 
+        prev_extra: dict = {}
+        if extra_agg:
+            row = state.agg(
+                *[c.alias(k) for k, c in extra_agg.items()]
+            ).collect()[0]
+            prev_extra = {k: row[k] for k in extra_agg}
+
         result = SuperstepResult(state=state)
         for it in range(start_iter, max_iter):
             t0 = time.time()
-            ctx: dict = {"iteration": it, "num_partitions": self.num_partitions}
+            ctx: dict = {
+                "iteration": it,
+                "num_partitions": self.num_partitions,
+                **prev_extra,
+            }
             if prepare is not None:
                 ctx.update(prepare(state, ctx))
 
@@ -158,8 +176,11 @@ class SuperstepEngine:
             counts = new_state.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("active").cast("long")).alias("changed"),
+                *[c.alias(k) for k, c in (extra_agg or {}).items()],
             ).collect()[0]
             num_changed = int(counts["changed"] or 0)
+            if extra_agg:
+                prev_extra = {k: counts[k] for k in extra_agg}
 
             if it % self.lineage_cut_every == self.lineage_cut_every - 1:
                 # localCheckpoint AFTER the cache is materialized: its

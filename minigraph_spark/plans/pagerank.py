@@ -13,8 +13,9 @@ per the survey's resolution, since the truncation is an artifact of its
 
 Both are synchronous Jacobi sweeps: every superstep recomputes from the full
 state (frontier=False), ONE sum-shuffle per iteration, hub dst keys salted.
-The dangling-mass scalar (standard variant) is a one-row driver aggregate per
-iteration — the Aggregate-hook analog (auto_app_base.h:56-63).
+The dangling-mass scalar (standard variant) piggybacks on the engine's
+per-iteration counts action via extra_agg — the Aggregate-hook analog
+(auto_app_base.h:56-63) at zero extra Spark jobs.
 """
 
 from __future__ import annotations
@@ -55,13 +56,11 @@ def run_pagerank(
             )
         )
 
-        def prepare(state: DataFrame, ctx: dict) -> dict:
-            dangling = (
-                state.filter(F.col("outdeg").isNull())
-                .agg(F.sum("value").alias("d"))
-                .collect()[0]["d"]
-            )
-            return {"dangling": float(dangling or 0.0)}
+        # dangling mass rides along in the engine's per-iteration counts
+        # action (extra_agg) — no separate Spark job per iteration
+        dangling_col = F.sum(
+            F.when(F.col("outdeg").isNull(), F.col("value")).otherwise(F.lit(0.0))
+        )
 
         def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
             contrib = state.filter(F.col("outdeg").isNotNull()).select(
@@ -70,10 +69,11 @@ def run_pagerank(
             return e.join(contrib, "src").select("dst", F.col("c").alias("msg"))
 
         def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+            dangling = float(ctx["dangling"] or 0.0)
             new_val = (
                 F.lit((1 - alpha) / n)
                 + F.lit(alpha)
-                * (F.coalesce(F.col("agg"), F.lit(0.0)) + F.lit(ctx["dangling"] / n))
+                * (F.coalesce(F.col("agg"), F.lit(0.0)) + F.lit(dangling / n))
             )
             return (
                 state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
@@ -87,7 +87,8 @@ def run_pagerank(
 
         return eng.run(
             init, scatter=scatter, combiner="sum", apply_fn=apply_fn,
-            prepare=prepare, frontier=False, max_iter=max_iter, algo="pagerank",
+            extra_agg={"dangling": dangling_col},
+            frontier=False, max_iter=max_iter, algo="pagerank",
         )
 
     if variant == "minigraph":
