@@ -68,24 +68,36 @@ def hyperplane_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """(vec_id, bucket) — sign-bit LSH bucket from seeded random hyperplanes.
+    """(vec_id, table, bucket) — sign-bit LSH buckets from seeded random
+    hyperplanes, one bucket per hash table (band-OR multi-table LSH: a
+    candidate pair needs to collide in ANY table, boosting recall the same
+    way MinHash banding does).
 
     Planes are generated driver-side (seeded, deterministic) and embedded as
-    array literals — they are tiny (num_planes x dim doubles), so the dot
-    products run inside whole-stage codegen, no UDF, no join.
+    array literals — they are tiny (num_tables x num_planes x dim doubles),
+    so the dot products run inside whole-stage codegen, no UDF, no join.
     """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    planes = rng.standard_normal((num_tables, num_planes, dim))
     v = _as_double(F.col(vec_col))
-    bucket = F.lit(0)
-    for i in range(num_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    per_table = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for i in range(num_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            dot = F.aggregate(
+                F.zip_with(v, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        per_table.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(*per_table)).alias("tb"),
+    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
 def cosine_topk_lsh(
@@ -97,21 +109,31 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket (plus nothing else — recall is tested on fixtures, not assumed).
-    Same output schema as cosine_topk."""
-    eb = hyperplane_buckets(embeddings, num_planes, dim, seed, id_col, vec_col)
-    qb = hyperplane_buckets(queries, num_planes, dim, seed, id_col, vec_col)
+    """Approximate top-k: candidates are corpus vectors colliding with the
+    query in ANY of `num_tables` hyperplane hash tables (band-OR), deduped,
+    then exactly scored. Expected candidate fraction per table is
+    1/2^num_planes; recall grows with num_tables. Same output schema as
+    cosine_topk; recall is tested on fixtures, not assumed."""
+    eb = hyperplane_buckets(embeddings, num_planes, dim, seed, id_col, vec_col, num_tables)
+    qb = hyperplane_buckets(queries, num_planes, dim, seed, id_col, vec_col, num_tables)
+    cand = (
+        eb.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qb.withColumnRenamed("vec_id", "query_id")), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).join(qb.withColumnRenamed("vec_id", "query_id"), "query_id")
+    )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).join(eb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
     )
     from pyspark.sql import Window

@@ -30,7 +30,7 @@ from .operators.dedup import (
     simhash_fingerprints,
     text_fingerprint,
 )
-from .operators.similarity import cosine_topk
+from .operators.similarity import cosine_topk, cosine_topk_lsh
 from .operators.textops import lang_id, quality_score, token_count, token_stats
 from .plans.bfs import run_bfs
 from .plans.lpa import run_lpa
@@ -417,6 +417,44 @@ def _q_ann_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _q_ann_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=4, num_tables=6
+    )
+
+
+N_MEDIA = 24  # fixed fake-media fixture size for the multimodal queries
+
+
+def _q_media_features(spark, sf_dir):
+    from .operators.multimodal import make_fake_media, media_features
+
+    return media_features(make_fake_media(spark, N_MEDIA, seed=7))
+
+
+def _q_frame_sample(spark, sf_dir):
+    from .operators.multimodal import frame_sample, make_fake_media
+
+    return frame_sample(make_fake_media(spark, N_MEDIA, seed=7), every_n=5, fake=True)
+
+
+FRAME_SAMPLE_SQL = f"""
+  WITH vids AS (
+    SELECT i AS media_id, (i % 30) + 1 AS n_frames
+    FROM range(0, {N_MEDIA}) t(i) WHERE i % 4 = 3)
+  SELECT media_id, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx
+  FROM vids
+"""
+
+
+def _q_coloring_mod(spark, sf_dir):
+    from .plans.coloring import run_coloring
+
+    res = run_coloring(mod_edges(spark, sf_dir), engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.col("value").alias("color"))
+
+
 # rows-only (to-convergence; covered by NumPy oracles in pytest)
 def _q_pagerank_converged(spark, sf_dir):
     res = run_pagerank(mod_edges(spark, sf_dir), tol=1e-6, max_iter=200,
@@ -454,6 +492,10 @@ QUERIES = {
     "quality_score": _q_quality,
     "lang_id": _q_lang_id,
     "ann_cosine_topk": _q_ann_topk,
+    "ann_cosine_topk_lsh": _q_ann_topk_lsh,
+    "media_features": _q_media_features,
+    "frame_sample": _q_frame_sample,
+    "coloring_mod": _q_coloring_mod,
     "pagerank_mod_converged": _q_pagerank_converged,
     "wcc_seq_converged": _q_wcc_seq_converged,
 }
@@ -545,7 +587,17 @@ ORACLE_SQL = {
       FROM agg
     """,
     "ann_cosine_topk": _ANN_TOPK_SQL,
-    # pagerank_mod_converged, wcc_seq_converged: rows-only by design
+    "frame_sample": FRAME_SAMPLE_SQL,
+    # rows-only by design: pagerank_mod_converged, wcc_seq_converged
+    # (to-convergence loops), ann_cosine_topk_lsh (seeded-hyperplane
+    # candidate set), media_features (RNG binary payloads), coloring_mod
+    # (greedy color values; validity asserted in pytest)
 }
 
-ROWS_ONLY = {"pagerank_mod_converged", "wcc_seq_converged"}
+ROWS_ONLY = {
+    "pagerank_mod_converged",
+    "wcc_seq_converged",
+    "ann_cosine_topk_lsh",
+    "media_features",
+    "coloring_mod",
+}

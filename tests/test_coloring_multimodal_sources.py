@@ -1,0 +1,135 @@
+"""Greedy coloring (A5), multimodal binary-column plumbing, edge-list
+sources/sinks, and LSH ANN recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from minigraph_spark.fixtures import TINY7_EDGES, make_rmat_edges_np, tiny7_edges
+from minigraph_spark.operators.multimodal import (
+    decode_image,
+    frame_sample,
+    make_fake_media,
+    media_features,
+    resize_image,
+)
+from minigraph_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from minigraph_spark.plans.coloring import coloring_conflicts, run_coloring
+from minigraph_spark.sources.edgelist import (
+    read_edge_csv,
+    read_edges_parquet,
+    retype_ids,
+    sample_head_fraction,
+    write_adjacency_text,
+    write_edges_parquet,
+)
+
+
+def _spark_edges(spark, arr):
+    return spark.createDataFrame(
+        pd.DataFrame(arr, columns=["src", "dst"]), schema="src long, dst long"
+    )
+
+
+# ------------------------------------------------------------- coloring
+def test_coloring_tiny7(spark):
+    e = tiny7_edges(spark)
+    res = run_coloring(e)
+    assert res.converged
+    assert coloring_conflicts(e, res.state) == 0
+
+
+def test_coloring_triangle_and_rmat(spark):
+    tri = _spark_edges(spark, np.array([[1, 2], [1, 3], [2, 3]]))
+    res = run_coloring(tri)
+    assert coloring_conflicts(tri, res.state) == 0
+    arr = make_rmat_edges_np(8, 600, seed=3)
+    e = _spark_edges(spark, arr)
+    res2 = run_coloring(e)
+    assert res2.converged
+    assert coloring_conflicts(e, res2.state) == 0
+
+
+# ----------------------------------------------------------- multimodal
+def test_media_features_deterministic(spark):
+    media = make_fake_media(spark, 16, seed=7, payload_bytes=1024)
+    feats = media_features(media).orderBy("media_id").collect()
+    assert len(feats) == 16
+    assert all(r["byte_len"] == 1024 for r in feats)
+    # near-uniform random bytes -> entropy close to 8 bits
+    assert all(7.5 < r["byte_entropy"] <= 8.0 for r in feats)
+    again = media_features(media).orderBy("media_id").collect()
+    assert [r.asDict() for r in feats] == [r.asDict() for r in again]
+
+
+def test_decode_image_stub_contract(spark):
+    media = make_fake_media(spark, 8, seed=7)
+    with pytest.raises(NotImplementedError):
+        decode_image(media, fake=False)
+    out = decode_image(media, out_h=8, out_w=8, fake=True).collect()
+    assert len(out) == 8
+    assert all(len(r["pixels"]) == 8 * 8 * 3 for r in out)
+
+
+def test_resize_and_frame_sample(spark):
+    media = make_fake_media(spark, 12, seed=7)
+    rs = resize_image(media, 4, 4, fake=True).collect()
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in rs)
+    frames = frame_sample(media, every_n=5, fake=True)
+    pdf = frames.toPandas()
+    # only video rows produce frames; indices step by 5 within n_frames
+    vids = {r["media_id"]: r["meta"]["n_frames"] for r in media.collect()
+            if r["meta"]["media_type"] == "video"}
+    assert set(pdf["media_id"]) == set(vids)
+    for mid, grp in pdf.groupby("media_id"):
+        assert list(grp["frame_idx"]) == list(range(0, vids[mid], 5))
+
+
+# -------------------------------------------------------------- sources
+def test_edge_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "edges.csv"
+    p.write_text("".join(f"{s},{d}\n" for s, d in TINY7_EDGES) + "3,3\n")
+    e = read_edge_csv(spark, str(p))
+    got = sorted((r["src"], r["dst"]) for r in e.collect())
+    assert got == sorted(TINY7_EDGES)  # self-loop dropped
+
+    out = str(tmp_path / "edges_parquet")
+    write_edges_parquet(e, out, buckets=4)
+    back = read_edges_parquet(spark, out)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(TINY7_EDGES)
+
+
+def test_adjacency_text_sink(spark, tmp_path):
+    out = str(tmp_path / "adj")
+    write_adjacency_text(tiny7_edges(spark), out)
+    lines = sorted(spark.read.text(out).toPandas()["value"])
+    assert "0: 2 3" in lines
+    assert "3: 1 4" in lines
+
+
+def test_retype_and_sample(spark):
+    e = tiny7_edges(spark)
+    assert retype_ids(e, "int").schema["src"].dataType.simpleString() == "int"
+    assert sample_head_fraction(e, 0.5).count() == 3
+
+
+# ---------------------------------------------------------------- LSH ANN
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(5)
+    # 4 well-separated clusters in 16 dims
+    centers = rng.standard_normal((4, 16)) * 10
+    vecs = np.concatenate(
+        [centers[i] + rng.standard_normal((50, 16)) for i in range(4)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(200), "embedding": [v.astype(np.float32) for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = cosine_topk_lsh(emb, q, k=5, num_planes=4, dim=16, num_tables=6).toPandas()
+    ek = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    ak = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(ek & ak) / len(ek)
+    assert recall >= 0.8, recall
