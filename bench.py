@@ -58,6 +58,7 @@ def main() -> None:
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # --- testdata-derived graph (events seq projection, SURVEY.md §3.3) ---
@@ -75,8 +76,11 @@ def main() -> None:
     rmat = make_rmat_edges(spark, RMAT_POWER, RMAT_EDGES, seed=42)
     n_edges = timed("rmat_materialize", rmat.persist().count)
 
+    # fixed-iteration run: clean edges/sec/iteration accounting (a tol-based
+    # stop at 1/n-scale values converges in a handful of sweeps and would
+    # under-amortize fixed costs)
     t0 = time.time()
-    pr = run_pagerank(rmat, tol=1e-6, max_iter=30)
+    pr = run_pagerank(rmat, tol=0.0, max_iter=10)
     pr_sec = time.time() - t0
     timings["pagerank_rmat"] = round(pr_sec, 3)
     iters = max(pr.iterations, 1)

@@ -41,7 +41,7 @@ def run_level(cores: int) -> None:
     # warm-up: JIT/codegen and the engine's one-time edge prepartition cost
     run_pagerank(rmat, tol=0.0, max_iter=2)
     t0 = time.time()
-    res = run_pagerank(rmat, tol=1e-6, max_iter=20)
+    res = run_pagerank(rmat, tol=0.0, max_iter=10)  # fixed iterations
     sec = time.time() - t0
     iters = max(res.iterations, 1)
     print(

@@ -157,7 +157,12 @@ def prepartition_edges(
     On a real cluster this is a bucketed table write instead."""
     out = edges.repartition(num_partitions, by)
     if persist:
-        out = out.persist()
+        # eager localCheckpoint rather than persist: it caches the blocks
+        # AND replaces the logical subtree with a compact LogicalRDD leaf
+        # (driver-side createDataFrame edges otherwise embed a LocalRelation
+        # that every per-iteration analysis pass re-walks), while keeping
+        # the hash partitioning visible to the scatter join.
+        out = out.localCheckpoint(eager=True)
     return out
 
 

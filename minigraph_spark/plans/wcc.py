@@ -43,7 +43,11 @@ def _apply_min_jump(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
     label(v) is always the id of a vertex whose ancestors are ancestors of v
     (transitivity), and labels only decrease — convergence drops from
     O(diameter) to O(log n) global rounds while the fixpoint is unchanged."""
-    merged = _apply_min(state, agg, ctx)
+    # cached: the self-join below references merged twice — uncached, the
+    # whole scatter+combine upstream would compute twice per superstep.
+    # The engine unpersists it after the iteration's counts action.
+    merged = _apply_min(state, agg, ctx).persist()
+    ctx.setdefault("_unpersist_after", []).append(merged)
     jump = merged.select(F.col("vid").alias("_jv"), F.col("value").alias("_jp"))
     jumped = F.least(merged["value"], F.coalesce(jump["_jp"], merged["value"]))
     return merged.join(jump, merged["value"] == jump["_jv"], "left").select(
