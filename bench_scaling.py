@@ -21,13 +21,44 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RMAT_POWER = int(os.environ.get("SPARK_GRAFT_RMAT_POWER", "20"))
-RMAT_EDGES = int(os.environ.get("SPARK_GRAFT_RMAT_EDGES", "8000000"))
-LEVELS = (8, 32)
+RMAT_POWER = int(os.environ.get("SPARK_GRAFT_RMAT_POWER", "21"))
+RMAT_EDGES = int(os.environ.get("SPARK_GRAFT_RMAT_EDGES", "64000000"))
+ITERATIONS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
+)
+
+
+def edges_parquet_path() -> str:
+    return f"/tmp/minigraph_scaling_edges_p{RMAT_POWER}_e{RMAT_EDGES}.parquet"
+
+
+def ensure_edges_parquet() -> str:
+    """Generate the R-MAT edge table once and store it as parquet via
+    pyarrow (no JVM): both levels then READ the same file — measuring the
+    iteration loop, not driver-side fixture serialization (a pandas-born
+    DataFrame is a LocalRelation re-shipped from the driver on every use)."""
+    path = edges_parquet_path()
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from minigraph_spark.fixtures import make_rmat_edges_np
+
+        chunk = 8_000_000  # bound generator memory (E x power float matrix)
+        schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        with pq.ParquetWriter(path + ".tmp", schema) as w:
+            done = 0
+            while done < RMAT_EDGES:
+                n = min(chunk, RMAT_EDGES - done)
+                e = make_rmat_edges_np(RMAT_POWER, n, seed=42 + done)
+                w.write_table(pa.table({"src": e[:, 0], "dst": e[:, 1]}, schema=schema))
+                done += n
+        os.replace(path + ".tmp", path)
+    return path
 
 
 def run_level(cores: int) -> None:
-    from minigraph_spark.fixtures import make_rmat_edges
     from minigraph_spark.plans.pagerank import run_pagerank
     from minigraph_spark.session import get_spark
 
@@ -36,12 +67,12 @@ def run_level(cores: int) -> None:
         master=f"local[{cores}]",
         shuffle_partitions=cores,
     )
-    rmat = make_rmat_edges(spark, RMAT_POWER, RMAT_EDGES, seed=42)
-    n_edges = rmat.persist().count()
+    rmat = spark.read.parquet(ensure_edges_parquet())
+    n_edges = rmat.count()
     # warm-up: JIT/codegen and the engine's one-time edge prepartition cost
-    run_pagerank(rmat, tol=0.0, max_iter=2)
+    run_pagerank(rmat, tol=0.0, max_iter=1)
     t0 = time.time()
-    res = run_pagerank(rmat, tol=0.0, max_iter=10)  # fixed iterations
+    res = run_pagerank(rmat, tol=0.0, max_iter=ITERATIONS)  # fixed iterations
     sec = time.time() - t0
     iters = max(res.iterations, 1)
     print(
@@ -63,6 +94,7 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--inner":
         run_level(int(sys.argv[2]))
         return
+    ensure_edges_parquet()  # generate once, outside any timed region
     results = {}
     for cores in LEVELS:
         out = subprocess.run(
@@ -73,16 +105,23 @@ def main() -> None:
             if line.startswith("LEVEL_RESULT "):
                 r = json.loads(line[len("LEVEL_RESULT "):])
                 results[r["cores"]] = r
-    lo, hi = LEVELS
-    tput_lo = results[lo]["edges_per_sec_per_iter"]
-    tput_hi = results[hi]["edges_per_sec_per_iter"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
+    pairs = {}
+    levels = sorted(results)
+    for lo, hi in zip(levels, levels[1:]):
+        tput_lo = results[lo]["edges_per_sec_per_iter"]
+        tput_hi = results[hi]["edges_per_sec_per_iter"]
+        pairs[f"{lo}->{hi}"] = round((tput_hi / tput_lo) / (hi / lo), 3)
+    lo, hi = levels[0], levels[-1]
+    eff = (
+        results[hi]["edges_per_sec_per_iter"] / results[lo]["edges_per_sec_per_iter"]
+    ) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": f"PageRank scaling efficiency local[{lo}] -> local[{hi}]",
                 "value": round(eff, 3),
                 "unit": "efficiency",
+                "pairwise": pairs,
                 "levels": results,
                 "rmat_edges": RMAT_EDGES,
             }

@@ -103,6 +103,9 @@ class SuperstepEngine:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.lineage_cut_every = lineage_cut_every
+        # cadence of the two-job stats-reset round (see run()); sizeInBytes
+        # grows ~2^(refs_per_plan * k) bits between resets — 8 keeps it tiny
+        self._stats_reset_every = 8
 
     def vertices(self) -> DataFrame:
         """Distinct vertex ids of the edge table (A8 analog:
@@ -123,6 +126,7 @@ class SuperstepEngine:
         extra_agg: dict | None = None,
         frontier: bool = True,
         max_iter: int = 100,
+        fuse: int = 1,
         stop_when_unchanged: bool = True,
         resume: bool = True,
         algo: str = "superstep",
@@ -139,8 +143,18 @@ class SuperstepEngine:
         the SAME per-iteration counts action (no extra Spark job) and the
         previous iteration's values are available to scatter/apply via
         ctx[name] — the Aggregate-hook analog (auto_app_base.h:56-63) for
-        driver-side scalars like PageRank's dangling mass.
+        driver-side scalars like PageRank's dangling mass. Requires fuse=1.
+
+        fuse runs that many supersteps inside ONE Catalyst plan per
+        materialization: every serial per-materialization cost (driver
+        analysis, job barriers, convergence collect, lineage checkpoint)
+        amortizes over `fuse` supersteps — the dominant lever for
+        edges/sec/iteration once per-task compute stops dominating.
+        Convergence is then only observable at window granularity, and the
+        logical plan holds ~2^fuse state references, so keep fuse <= ~6.
         """
+        if extra_agg and fuse > 1:
+            raise ValueError("extra_agg feeds ctx per superstep; requires fuse=1")
         start_iter = 0
         state = init_state
         if resume and self.checkpoint_dir:
@@ -159,27 +173,50 @@ class SuperstepEngine:
             prev_extra = {k: row[k] for k in extra_agg}
 
         result = SuperstepResult(state=state)
-        for it in range(start_iter, max_iter):
+        window_start = start_iter
+        while window_start < max_iter:
+            steps = min(fuse, max_iter - window_start)
+            it = window_start + steps - 1  # window-end iteration index
             t0 = time.time()
             ctx: dict = {
-                "iteration": it,
+                "iteration": window_start,
                 "num_partitions": self.num_partitions,
                 **prev_extra,
             }
-            if prepare is not None:
-                ctx.update(prepare(state, ctx))
-
-            src_state = state.filter(F.col("active")) if frontier else state
-            msgs = scatter(self.edges, src_state, ctx)
-            if callable(combiner):
-                agg = combiner(msgs)
-            elif combiner == "mode":
-                agg = mode_agg(msgs, "dst", "msg", self.hot_keys)
-            else:
-                agg = salted_agg(msgs, "dst", "msg", combiner, self.hot_keys)
-
             ctx["_unpersist_after"] = []  # apply_fn may cache intermediates
-            new_state = apply_fn(state, agg, ctx).persist()
+
+            new_state = state
+            for j in range(steps):
+                ctx["iteration"] = window_start + j
+                if prepare is not None:
+                    ctx.update(prepare(new_state, ctx))
+                src_state = (
+                    new_state.filter(F.col("active")) if frontier else new_state
+                )
+                msgs = scatter(self.edges, src_state, ctx)
+                if callable(combiner):
+                    agg = combiner(msgs)
+                elif combiner == "mode":
+                    agg = mode_agg(msgs, "dst", "msg", self.hot_keys)
+                else:
+                    agg = salted_agg(msgs, "dst", "msg", combiner, self.hot_keys)
+                new_state = apply_fn(new_state, agg, ctx)
+            # Lineage + stats management, one superstep = ONE Spark job:
+            # a LAZY localCheckpoint truncates the logical plan, and the
+            # counts action below both materializes the checkpoint and reads
+            # the convergence counters in the same job. The catch: the
+            # checkpoint's LogicalRDD rewrites stats from the ORIGIN plan,
+            # and plans referencing `state` 2-3x (scatter + apply + scalar
+            # cross joins) SQUARE sizeInBytes per round — so every
+            # `stats_reset_every` rounds we take the two-job path (persist,
+            # materialize via counts, THEN eager-checkpoint) which re-reads
+            # the real cached size and resets the BigInteger before Catalyst
+            # starts multiplying megabyte-long numbers.
+            reset_round = it % self._stats_reset_every == self._stats_reset_every - 1
+            if reset_round:
+                new_state = new_state.persist()
+            else:
+                new_state = new_state.localCheckpoint(eager=False)
 
             counts = new_state.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -190,15 +227,7 @@ class SuperstepEngine:
             if extra_agg:
                 prev_extra = {k: counts[k] for k in extra_agg}
 
-            if it % self.lineage_cut_every == self.lineage_cut_every - 1:
-                # localCheckpoint AFTER the cache is materialized: its
-                # LogicalRDD rewrites stats from the origin plan, and plans
-                # that reference `state` twice (scatter + apply) SQUARE
-                # sizeInBytes per round — unchecked, Catalyst ends up
-                # multiplying astronomically large BigIntegers after ~20
-                # lineage cuts. A materialized cache makes the rewrite read
-                # the InMemoryRelation's real size; checkpoint still
-                # truncates both lineage and the logical plan.
+            if reset_round:
                 truncated = new_state.localCheckpoint(eager=True)
                 new_state.unpersist()
                 new_state = truncated
@@ -216,22 +245,25 @@ class SuperstepEngine:
                 )
                 checkpointed = True
 
-            m = IterationMetrics(
-                iteration=it,
-                num_active=num_changed,
-                num_changed=num_changed,
-                num_messages=-1,  # not counted by default (extra action)
-                elapsed_sec=time.time() - t0,
-                checkpointed=checkpointed,
-            )
-            result.metrics.append(m)
-            if self.checkpoint_dir:
-                ckpt.append_metrics(self.checkpoint_dir, m.__dict__)
+            window_sec = time.time() - t0
+            for j in range(steps):
+                m = IterationMetrics(
+                    iteration=window_start + j,
+                    num_active=num_changed if j == steps - 1 else -1,
+                    num_changed=num_changed if j == steps - 1 else -1,
+                    num_messages=-1,  # not counted by default (extra action)
+                    elapsed_sec=window_sec / steps,
+                    checkpointed=checkpointed and j == steps - 1,
+                )
+                result.metrics.append(m)
+                if self.checkpoint_dir:
+                    ckpt.append_metrics(self.checkpoint_dir, m.__dict__)
 
             state.unpersist()
             state = new_state
             result.state = state
             result.iterations = it + 1
+            window_start += steps
             if stop_when_unchanged and num_changed == 0:
                 result.converged = True
                 break

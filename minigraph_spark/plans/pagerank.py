@@ -34,6 +34,7 @@ def run_pagerank(
     epsilon: float = 0.001,
     tol: float = 1e-6,
     max_iter: int = 200,
+    fuse: int = 1,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
 ) -> SuperstepResult:
@@ -56,12 +57,6 @@ def run_pagerank(
             )
         )
 
-        # dangling mass rides along in the engine's per-iteration counts
-        # action (extra_agg) — no separate Spark job per iteration
-        dangling_col = F.sum(
-            F.when(F.col("outdeg").isNull(), F.col("value")).otherwise(F.lit(0.0))
-        )
-
         def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
             contrib = state.filter(F.col("outdeg").isNotNull()).select(
                 F.col("vid").alias("src"), (F.col("value") / F.col("outdeg")).alias("c")
@@ -69,14 +64,24 @@ def run_pagerank(
             return e.join(contrib, "src").select("dst", F.col("c").alias("msg"))
 
         def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-            dangling = float(ctx["dangling"] or 0.0)
+            # dangling mass IN-PLAN: ranks sum to 1 every iteration (teleport
+            # + redistribution preserve total mass), and the combine's total
+            # equals the mass sent by non-dangling vertices — so
+            # dangling = 1 - sum(msgs). A 1-row broadcast cross join keeps
+            # the scalar inside the plan: no driver collect per superstep,
+            # which is what makes iteration fusion possible. The combine
+            # exchange is reused between the join and the total (Catalyst
+            # ReusedExchange), not recomputed.
+            total = agg.agg(F.sum("agg").alias("_sent"))
+            dangling = F.lit(1.0) - F.coalesce(F.col("_sent"), F.lit(0.0))
             new_val = (
                 F.lit((1 - alpha) / n)
                 + F.lit(alpha)
-                * (F.coalesce(F.col("agg"), F.lit(0.0)) + F.lit(dangling / n))
+                * (F.coalesce(F.col("agg"), F.lit(0.0)) + dangling / n)
             )
             return (
                 state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+                .crossJoin(F.broadcast(total))
                 .select(
                     "vid",
                     new_val.alias("value"),
@@ -87,8 +92,7 @@ def run_pagerank(
 
         return eng.run(
             init, scatter=scatter, combiner="sum", apply_fn=apply_fn,
-            extra_agg={"dangling": dangling_col},
-            frontier=False, max_iter=max_iter, algo="pagerank",
+            frontier=False, max_iter=max_iter, fuse=fuse, algo="pagerank",
         )
 
     if variant == "minigraph":
@@ -126,7 +130,8 @@ def run_pagerank(
 
         return eng.run(
             init, scatter=scatter_mg, combiner="sum", apply_fn=apply_mg,
-            frontier=False, max_iter=max_iter, algo="pagerank_minigraph",
+            frontier=False, max_iter=max_iter, fuse=fuse,
+            algo="pagerank_minigraph",
         )
 
     raise ValueError(f"unknown variant {variant!r}")

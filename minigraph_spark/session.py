@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: don't mmap local shuffle/disk blocks — at high thread
+        # counts the munmap storm serializes on the process address-space
+        # lock (+ TLB shootdowns) and 32 threads run SLOWER than 8
+        # (observed: executor threads stuck in FileChannelImpl.unmap0).
+        # Plain stream reads scale; on a real cluster fetches are remote
+        # and this setting is moot.
+        .config("spark.storage.memoryMapThreshold", "512m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
