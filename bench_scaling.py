@@ -21,11 +21,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RMAT_POWER = int(os.environ.get("SPARK_GRAFT_RMAT_POWER", "21"))
-RMAT_EDGES = int(os.environ.get("SPARK_GRAFT_RMAT_EDGES", "64000000"))
+RMAT_POWER = int(os.environ.get("SPARK_GRAFT_RMAT_POWER", "23"))
+RMAT_EDGES = int(os.environ.get("SPARK_GRAFT_RMAT_EDGES", "256000000"))
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
 LEVELS = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
 )
 
 
@@ -59,6 +59,7 @@ def ensure_edges_parquet() -> str:
 
 
 def run_level(cores: int) -> None:
+    from minigraph_spark.operators.superstep import SuperstepEngine
     from minigraph_spark.plans.pagerank import run_pagerank
     from minigraph_spark.session import get_spark
 
@@ -69,10 +70,20 @@ def run_level(cores: int) -> None:
     )
     rmat = spark.read.parquet(ensure_edges_parquet())
     n_edges = rmat.count()
-    # warm-up: JIT/codegen and the engine's one-time edge prepartition cost
-    run_pagerank(rmat, tol=0.0, max_iter=1)
+    # One-time graph setup OUTSIDE the timed region: hash prepartition +
+    # heavy-hitter detection — the analog of the reference's
+    # graph_partition_exec step (tools/graph_partition.cpp:98-134), amortized
+    # over the life of the graph (report its cost separately).
     t0 = time.time()
-    res = run_pagerank(rmat, tol=0.0, max_iter=ITERATIONS)  # fixed iterations
+    eng = SuperstepEngine(rmat.select("src", "dst"))
+    setup_sec = round(time.time() - t0, 3)
+    # Warm-up supersteps: the first 2-3 iterations run 2-10x slower than
+    # steady state (JVM C2 + whole-stage-codegen compilation), so warm up
+    # before timing — the 10^9-edge target runs tens of supersteps, where
+    # steady state is all that matters.
+    run_pagerank(rmat, tol=0.0, max_iter=3, engine=eng)
+    t0 = time.time()
+    res = run_pagerank(rmat, tol=0.0, max_iter=ITERATIONS, engine=eng)
     sec = time.time() - t0
     iters = max(res.iterations, 1)
     print(
@@ -83,6 +94,7 @@ def run_level(cores: int) -> None:
                 "edges": n_edges,
                 "iterations": iters,
                 "sec": round(sec, 3),
+                "setup_sec": setup_sec,
                 "edges_per_sec_per_iter": round(n_edges * iters / sec, 1),
             }
         )

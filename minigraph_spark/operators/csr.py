@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import iterative_confs
 from .project import symmetrize
 from .superstep import IterationMetrics, SuperstepResult
 
@@ -114,6 +115,16 @@ def run_wcc_csr(
     labels to both endpoints (two co-partitioned joins), applyInPandas per
     hash(src) fragment, global min-combine, driver-side changed count.
     """
+    with iterative_confs(edges.sparkSession):
+        return _run_wcc_csr(edges, directed, num_partitions, max_rounds)
+
+
+def _run_wcc_csr(
+    edges: DataFrame,
+    directed: bool,
+    num_partitions: int | None,
+    max_rounds: int,
+) -> SuperstepResult:
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     graph = edges.select("src", "dst") if directed else symmetrize(edges)

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import checkpoint as ckpt
+from ..session import iterative_confs
 from .partition import heavy_hitters, mode_agg, prepartition_edges, salted_agg
 
 ScatterFn = Callable[[DataFrame, DataFrame, dict], DataFrame]
@@ -155,6 +156,27 @@ class SuperstepEngine:
         """
         if extra_agg and fuse > 1:
             raise ValueError("extra_agg feeds ctx per superstep; requires fuse=1")
+        with iterative_confs(self.spark):
+            return self._run_loop(
+                init_state, scatter, combiner, apply_fn, prepare, extra_agg,
+                frontier, max_iter, fuse, stop_when_unchanged, resume, algo,
+            )
+
+    def _run_loop(
+        self,
+        init_state: DataFrame,
+        scatter: ScatterFn,
+        combiner: str | Callable[[DataFrame], DataFrame],
+        apply_fn: ApplyFn,
+        prepare: PrepareFn | None,
+        extra_agg: dict | None,
+        frontier: bool,
+        max_iter: int,
+        fuse: int,
+        stop_when_unchanged: bool,
+        resume: bool,
+        algo: str,
+    ) -> SuperstepResult:
         start_iter = 0
         state = init_state
         if resume and self.checkpoint_dir:

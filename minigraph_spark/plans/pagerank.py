@@ -37,9 +37,16 @@ def run_pagerank(
     fuse: int = 1,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    engine: SuperstepEngine | None = None,
 ) -> SuperstepResult:
-    """Returns state (vid, value=rank). standard ranks sum to 1."""
-    eng = SuperstepEngine(
+    """Returns state (vid, value=rank). standard ranks sum to 1.
+
+    Pass ``engine`` to reuse an already-partitioned SuperstepEngine across
+    runs — the one-time prepartition/heavy-hitter cost (the analog of the
+    reference's graph_partition_exec step, tools/graph_partition.cpp:98-134)
+    then amortizes over every run on the same graph.
+    """
+    eng = engine or SuperstepEngine(
         edges.select("src", "dst"), checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
     )
     verts = eng.vertices()

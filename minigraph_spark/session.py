@@ -21,6 +21,42 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+class iterative_confs:
+    """Context manager: per-loop Spark conf for superstep iteration.
+
+    AQE is the right default for one-shot relational queries (skew-join
+    splitting, partition coalescing) but inside a superstep loop it costs a
+    serial driver barrier per query stage PER ITERATION — each stage is
+    materialized, stats collected, and the remainder re-planned, and that
+    re-planning is driver-serial work that does not shrink with executor
+    count (measured in-sandbox: 64M-edge PageRank at local[32] runs ~6s/iter
+    with AQE off vs 8-53s/iter, wildly variable, with AQE on). The loop's
+    shapes are static — partition count fixed by prepartition_edges, hub skew
+    handled by explicit salting (operators/partition.py), so AQE buys nothing
+    there. This scopes AQE off for the loop and restores the session default
+    after, mirroring how the reference fixes its fragment plan once at
+    partition time rather than re-planning per superstep
+    (tools/graph_partition.cpp:98-134).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.saved: dict[str, str] = {}
+
+    _LOOP_CONFS = {"spark.sql.adaptive.enabled": "false"}
+
+    def __enter__(self):
+        for k, v in self._LOOP_CONFS.items():
+            self.saved[k] = self.spark.conf.get(k)
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
+        return False
+
+
 def get_spark(
     app_name: str = "minigraph_spark",
     master: str | None = None,

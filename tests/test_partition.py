@@ -77,3 +77,18 @@ def test_border_vertices_and_comm_matrix(spark):
         for r in communication_matrix(e, pid_src, pid_dst).collect()
     }
     assert cm == {(0, 0), (0, 1), (1, 1)}
+
+
+def test_iterative_confs_scopes_aqe_off_and_restores(spark):
+    from minigraph_spark.session import iterative_confs
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    with iterative_confs(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # restores a non-default prior value too
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    with iterative_confs(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
