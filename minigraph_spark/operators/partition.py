@@ -155,14 +155,23 @@ def prepartition_edges(
     (tools/graph_partition.cpp:98-134). Amortizes the edge-side shuffle
     across all supersteps: the scatter join then reuses this partitioning.
     On a real cluster this is a bucketed table write instead."""
-    out = edges.repartition(num_partitions, by)
+    out = edges.repartition(num_partitions, by).sortWithinPartitions(by)
     if persist:
         # eager localCheckpoint rather than persist: it caches the blocks
         # AND replaces the logical subtree with a compact LogicalRDD leaf
         # (driver-side createDataFrame edges otherwise embed a LocalRelation
         # that every per-iteration analysis pass re-walks), while keeping
-        # the hash partitioning visible to the scatter join.
-        out = out.localCheckpoint(eager=True)
+        # the hash partitioning + ordering visible to the scatter join.
+        # MUST run with AQE off: under AdaptiveSparkPlanExec the checkpoint
+        # records UnknownPartitioning and every later scatter join re-shuffles
+        # the full edge table per superstep. The in-partition sort by `by`
+        # makes the per-iteration sort-merge scatter join exchange-free AND
+        # sort-free on the (big) edge side — only the (small) vertex-state
+        # side is sorted each superstep.
+        from ..session import iterative_confs
+
+        with iterative_confs(edges.sparkSession):
+            out = out.localCheckpoint(eager=True)
     return out
 
 

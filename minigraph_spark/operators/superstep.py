@@ -39,6 +39,9 @@ from .. import checkpoint as ckpt
 from ..session import iterative_confs
 from .partition import heavy_hitters, mode_agg, prepartition_edges, salted_agg
 
+# debug aid: MG_EXPLAIN=<k> prints the physical plan of superstep window k
+_EXPLAIN = int(__import__("os").environ.get("MG_EXPLAIN", "-1") or -1)
+
 ScatterFn = Callable[[DataFrame, DataFrame, dict], DataFrame]
 ApplyFn = Callable[[DataFrame, DataFrame, dict], DataFrame]
 PrepareFn = Callable[[DataFrame, dict], dict]
@@ -104,9 +107,17 @@ class SuperstepEngine:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.lineage_cut_every = lineage_cut_every
-        # cadence of the two-job stats-reset round (see run()); sizeInBytes
-        # grows ~2^(refs_per_plan * k) bits between resets — 8 keeps it tiny
-        self._stats_reset_every = 8
+        # cadence of the two-job stats-reset round (see run()). The lazy
+        # localCheckpoint rewrites stats from the ORIGIN plan, so sizeInBytes
+        # multiplies per state reference per round (BigInteger grows
+        # ~2^(refs_per_plan * k) bits between resets) and driver-side
+        # planning slows progressively — measured on 16M-edge PageRank:
+        # reset_every=8 averaged 14.5s/iter (planning-bound spikes to 64s),
+        # reset_every=1 runs a steady 1.5s/iter. The reset's second job is a
+        # cheap V-row cache scan; always take it.
+        self._stats_reset_every = int(
+            __import__("os").environ.get("MG_STATS_RESET_EVERY", "1")
+        )
 
     def vertices(self) -> DataFrame:
         """Distinct vertex ids of the edge table (A8 analog:
@@ -147,12 +158,15 @@ class SuperstepEngine:
         driver-side scalars like PageRank's dangling mass. Requires fuse=1.
 
         fuse runs that many supersteps inside ONE Catalyst plan per
-        materialization: every serial per-materialization cost (driver
-        analysis, job barriers, convergence collect, lineage checkpoint)
-        amortizes over `fuse` supersteps — the dominant lever for
-        edges/sec/iteration once per-task compute stops dominating.
-        Convergence is then only observable at window granularity, and the
-        logical plan holds ~2^fuse state references, so keep fuse <= ~6.
+        materialization, amortizing per-materialization serial costs
+        (driver analysis, job barriers, convergence collect, lineage
+        checkpoint). CAVEAT — only worthwhile when apply_fn references
+        `state` exactly once: Spark does not share non-exchange subplans,
+        so k references per step re-execute k^fuse copies of the window's
+        work (measured: fuse=5 on the 3-reference PageRank apply runs 5x
+        SLOWER than fuse=1). With the co-partitioned exchange-free
+        superstep plan the per-iteration fixed cost is small; default
+        fuse=1 is right for all shipped plans.
         """
         if extra_agg and fuse > 1:
             raise ValueError("extra_agg feeds ctx per superstep; requires fuse=1")
@@ -234,6 +248,8 @@ class SuperstepEngine:
             # materialize via counts, THEN eager-checkpoint) which re-reads
             # the real cached size and resets the BigInteger before Catalyst
             # starts multiplying megabyte-long numbers.
+            if window_start == _EXPLAIN:
+                new_state.explain("formatted")
             reset_round = it % self._stats_reset_every == self._stats_reset_every - 1
             if reset_round:
                 new_state = new_state.persist()

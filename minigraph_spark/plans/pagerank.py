@@ -53,7 +53,9 @@ def run_pagerank(
 
     if variant == "standard":
         outdeg = eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        n = verts.count()
+        # clamp: an empty edge table has zero vertices; the loop then
+        # converges immediately on the empty state instead of dividing by 0
+        n = max(verts.count(), 1)
         init = (
             verts.join(outdeg.withColumnRenamed("src", "vid"), "vid", "left")
             .select(
@@ -71,16 +73,17 @@ def run_pagerank(
             return e.join(contrib, "src").select("dst", F.col("c").alias("msg"))
 
         def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-            # dangling mass IN-PLAN: ranks sum to 1 every iteration (teleport
-            # + redistribution preserve total mass), and the combine's total
-            # equals the mass sent by non-dangling vertices — so
-            # dangling = 1 - sum(msgs). A 1-row broadcast cross join keeps
-            # the scalar inside the plan: no driver collect per superstep,
-            # which is what makes iteration fusion possible. The combine
-            # exchange is reused between the join and the total (Catalyst
-            # ReusedExchange), not recomputed.
-            total = agg.agg(F.sum("agg").alias("_sent"))
-            dangling = F.lit(1.0) - F.coalesce(F.col("_sent"), F.lit(0.0))
+            # dangling mass IN-PLAN: sum of rank over out-degree-0 vertices,
+            # read from the (cached, V-row) state — NOT 1 - sum(messages),
+            # which would re-evaluate the whole E-row scatter+combine subtree
+            # a second time per superstep (Catalyst's exchange reuse does not
+            # fire across the salted two-phase agg). A 1-row broadcast cross
+            # join keeps the scalar inside the plan: no driver collect per
+            # superstep, which is what makes iteration fusion possible.
+            total = state.filter(F.col("outdeg").isNull()).agg(
+                F.sum("value").alias("_dangling")
+            )
+            dangling = F.coalesce(F.col("_dangling"), F.lit(0.0))
             new_val = (
                 F.lit((1 - alpha) / n)
                 + F.lit(alpha)

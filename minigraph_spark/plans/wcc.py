@@ -43,18 +43,27 @@ def _apply_min_jump(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
     label(v) is always the id of a vertex whose ancestors are ancestors of v
     (transitivity), and labels only decrease — convergence drops from
     O(diameter) to O(log n) global rounds while the fixpoint is unchanged."""
-    # cached: the self-join below references merged twice — uncached, the
-    # whole scatter+combine upstream would compute twice per superstep.
-    # The engine unpersists it after the iteration's counts action.
-    merged = _apply_min(state, agg, ctx).persist()
-    ctx.setdefault("_unpersist_after", []).append(merged)
+    # Lazy localCheckpoint, NOT persist(): the self-join references merged
+    # twice, and cache-manager substitution is structural — it reliably hits
+    # one side but misses the deduplicated side of a self-join, silently
+    # re-executing the whole E-row scatter+combine a second time per
+    # superstep (measured 2x superstep wall on the big-frontier rounds).
+    # The lazy checkpoint instead rewrites the plan to a single shared
+    # LogicalRDD leaf immediately, so both join branches share one
+    # computation by construction; it also pins the leaf's hashpartitioning
+    # (vid) so the jump side needs no exchange.
+    merged = _apply_min(state, agg, ctx).localCheckpoint(eager=False)
     jump = merged.select(F.col("vid").alias("_jv"), F.col("value").alias("_jp"))
     jumped = F.least(merged["value"], F.coalesce(jump["_jp"], merged["value"]))
-    return merged.join(jump, merged["value"] == jump["_jv"], "left").select(
+    out = merged.join(jump, merged["value"] == jump["_jv"], "left").select(
         merged["vid"],
         jumped.alias("value"),
         (merged["active"] | (jumped < merged["value"])).alias("active"),
     )
+    # the jump join keys on `value`, leaving the output value-partitioned;
+    # repartition back to vid (one V-row exchange) so the NEXT superstep's
+    # scatter join and apply join are both exchange-free (saves two).
+    return out.repartition(ctx["num_partitions"], "vid")
 
 
 def run_wcc(

@@ -43,7 +43,19 @@ class iterative_confs:
         self.spark = spark
         self.saved: dict[str, str] = {}
 
-    _LOOP_CONFS = {"spark.sql.adaptive.enabled": "false"}
+    _LOOP_CONFS = {
+        "spark.sql.adaptive.enabled": "false",
+        # Inside the loop every join is co-partitioned by design (edges
+        # hash-partitioned+sorted once by prepartition_edges; state/agg both
+        # hash-partitioned on vid by the previous superstep's combine), so a
+        # sort-merge join is exchange-free and edge-side sort-free. Without
+        # this, Catalyst broadcasts the vertex state EVERY superstep (a
+        # driver round-trip per iteration that stops working the moment the
+        # state outgrows the broadcast limit — i.e. exactly at the 10^9-edge
+        # target). Explicit F.broadcast() hints (1-row scalars, hot-key
+        # sets) still broadcast.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
 
     def __enter__(self):
         for k, v in self._LOOP_CONFS.items():
