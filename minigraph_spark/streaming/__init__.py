@@ -1,0 +1,180 @@
+"""Structured Streaming ingest: transcript stream → link-graph edges.
+
+The reference is batch-only — its "stream" variants mean streaming fragments
+through bounded memory, not event streams (reference: README.md:104-108,
+apps/cpp/wcc_vc_stream.cpp). This module is the engine's *event-streaming*
+ingest face for the transcript table (BASELINE.json input_hint): an
+append-only log of (conv_id, turn_idx, role, text, tool, ts) rows arriving
+over time, projected incrementally into the same edge table the batch path
+(operators/project.py::seq_edges) produces.
+
+Design:
+- seq edges need the PREVIOUS turn of each conversation — cross-micro-batch
+  state. Implemented with applyInPandasWithState keyed by conv_id: the state
+  holds the last seen turn_idx per conversation; each batch's turns are
+  sorted and chained onto it. Vectorized pandas per group — no per-row
+  Python in the hot path; the 64-bit vertex ids are hashed JVM-side after
+  the stateful op (xxhash64 is not reproducible in pandas).
+- Contract: turns arrive with non-decreasing turn_idx per conversation
+  across micro-batches (true for an append-only transcript log). Within a
+  micro-batch, arrival order is irrelevant (sorted per group). Under that
+  contract the streamed edge set equals the batch projection exactly
+  (tested in tests/test_streaming.py).
+- Scale: state is one small tuple per conversation. For a continuously
+  running deployment pass conv_ttl_ms so stale conversations are dropped
+  via a processing-time timeout and state doesn't grow with the total
+  number of conversations ever seen. The TTL is OFF by default because a
+  pending processing-time timeout makes trigger(availableNow) spin no-data
+  "cleaning up state" batches forever instead of terminating (observed on
+  Spark 4.1; drain-style runs and tests must use conv_ttl_ms=None).
+
+Also provides a watermarked windowed aggregation (turn rates per role) —
+the standard late-data-tolerant metrics face.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from ..schemas import TRANSCRIPT_SCHEMA
+
+# (conv_id, src_turn, dst_turn) — intermediate, pre-hash
+_RAW_EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("src_turn", T.IntegerType(), False),
+        T.StructField("dst_turn", T.IntegerType(), False),
+    ]
+)
+_STATE_SCHEMA = T.StructType([T.StructField("last_turn", T.IntegerType(), True)])
+
+# keep per-conversation state for this long after the last turn arrives;
+# a conversation resuming later simply restarts its chain (one missed edge
+# per expiry — bounded, documented trade-off for bounded state)
+DEFAULT_CONV_TTL_MS = 6 * 60 * 60 * 1000
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an append-only transcript parquet directory.
+    On a real deployment this is an Iceberg/Kafka source with the same
+    schema; the projection below is source-agnostic."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def _make_seq_edges_stateful(conv_ttl_ms: int | None):
+    def _seq_edges_stateful(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        turns = pd.concat(list(batches), ignore_index=True)
+        if len(turns) == 0:
+            return
+        idx = turns["turn_idx"].sort_values().unique()  # numpy int32, ascending
+        prev = state.get[0] if state.exists else None
+        # chain: prev -> idx[0] -> idx[1] -> ... (drop idx already <= prev:
+        # replays of old turns must not emit duplicate edges)
+        if prev is not None:
+            idx = idx[idx > prev]
+        if len(idx) == 0:
+            return
+        src = ([prev] if prev is not None else []) + idx[:-1].tolist()
+        dst = idx.tolist() if prev is not None else idx[1:].tolist()
+        state.update((int(idx[-1]),))
+        if conv_ttl_ms is not None:
+            state.setTimeoutDuration(conv_ttl_ms)
+        if not src:
+            return
+        yield pd.DataFrame(
+            {"conv_id": key[0], "src_turn": src, "dst_turn": dst}
+        ).astype({"src_turn": "int32", "dst_turn": "int32"})
+
+    return _seq_edges_stateful
+
+
+def stream_seq_edges(
+    transcripts: DataFrame, conv_ttl_ms: int | None = None
+) -> DataFrame:
+    """Incremental sequential-turn edges; schema-compatible with the batch
+    projection (src, dst, kind, conv_id). One shuffle on conv_id per
+    micro-batch (the state exchange); vertex-id hashing stays JVM-side.
+
+    conv_ttl_ms: evict a conversation's state this long after its last turn
+    (continuous deployments only — see module docstring for why drain-style
+    availableNow runs must leave it None)."""
+    raw = (
+        transcripts.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_seq_edges_stateful(conv_ttl_ms),
+            outputStructType=_RAW_EDGE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if conv_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
+    return raw.select(
+        F.xxhash64(F.col("conv_id"), F.col("src_turn")).alias("src"),
+        F.xxhash64(F.col("conv_id"), F.col("dst_turn")).alias("dst"),
+        F.lit("seq").alias("kind"),
+        "conv_id",
+    )
+
+
+def stream_turn_rates(
+    transcripts: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-role turn counts in event-time windows — late rows
+    beyond the watermark are dropped, state for closed windows is evicted
+    (bounded-state metrics over an unbounded stream)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("num_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "num_turns",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain everything currently available through the streaming plan into
+    an in-memory sink and return it as a DataFrame (test/drive helper; a
+    production sink is writeStream.format('iceberg'/'parquet') with a
+    checkpointLocation). Use output_mode='complete' for watermarked windowed
+    aggregations when the stream ends before the watermark closes the last
+    windows (append would emit nothing for them)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

@@ -1,0 +1,90 @@
+"""Streaming ingest: incremental seq-edge projection == batch projection,
+cross-micro-batch state, watermarked windowed aggregation."""
+
+import os
+
+import pytest
+
+from minigraph_spark.fixtures import make_transcripts, make_transcripts_pdf
+from minigraph_spark.operators.project import seq_edges
+from minigraph_spark.streaming import (
+    read_transcript_stream,
+    run_available_now,
+    stream_seq_edges,
+    stream_turn_rates,
+)
+
+
+def _write_arrival_files(pdf, path, num_files):
+    """Split a transcript table into arrival-ordered parquet files: file k
+    holds each conversation's k-th slice of turns (so every conversation
+    spans several micro-batches — the cross-batch state path is exercised,
+    while turn_idx stays non-decreasing per conversation, matching the
+    append-only-log contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    for k in range(num_files):
+        lo = pdf.groupby("conv_id")["turn_idx"].transform(
+            lambda s: (s.rank(method="first") - 1) * num_files // len(s)
+        )
+        part = pdf[lo == k]
+        if len(part) == 0:
+            continue
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            f"{path}/part-{k:03d}.parquet",
+        )
+
+
+@pytest.fixture(scope="module")
+def arrival_dir(tmp_path_factory):
+    pdf = make_transcripts_pdf(300, seed=7)
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    _write_arrival_files(pdf, path, num_files=4)
+    return path, pdf
+
+
+def test_stream_seq_edges_equals_batch(spark, arrival_dir):
+    path, pdf = arrival_dir
+    # one file per micro-batch: conversations span 4 batches, so edges must
+    # chain across batches through the per-conversation state
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
+    got = run_available_now(stream_seq_edges(stream), "seq_edges_stream")
+    expect = seq_edges(
+        spark.createDataFrame(pdf, schema="conv_id string, turn_idx int, "
+                                          "role string, text string, tool string, ts timestamp")
+    )
+    g = {(r.src, r.dst) for r in got.collect()}
+    e = {(r.src, r.dst) for r in expect.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_stream_seq_edges_no_duplicates(spark, arrival_dir):
+    path, _ = arrival_dir
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
+    got = run_available_now(stream_seq_edges(stream), "seq_edges_dup").collect()
+    assert len(got) == len({(r.src, r.dst) for r in got})
+
+
+def test_stream_turn_rates_matches_batch_counts(spark):
+    tr = make_transcripts(spark, 100, seed=11)
+    tmp = "/tmp/mg_stream_rates_src"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    tr.write.parquet(tmp)
+    stream = read_transcript_stream(spark, tmp)
+    rates = run_available_now(
+        stream_turn_rates(stream, window="10 minutes", watermark="1 minute"),
+        "turn_rates",
+        output_mode="complete",
+    )
+    total_streamed = sum(r.num_turns for r in rates.collect())
+    assert total_streamed == tr.filter("ts is not null").count()
+    # window bounds are 10-minute aligned
+    assert all(
+        r.window_start.minute % 10 == 0 and r.window_end > r.window_start
+        for r in rates.collect()
+    )
