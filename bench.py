@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from minigraph_spark import relational  # noqa: E402
-from minigraph_spark.fixtures import make_rmat_edges  # noqa: E402
+from minigraph_spark.fixtures import make_rmat_edges_parquet  # noqa: E402
 from minigraph_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
 from minigraph_spark.operators.similarity import cosine_topk  # noqa: E402
 from minigraph_spark.plans.lpa import run_lpa  # noqa: E402
@@ -55,6 +55,21 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def clear_storage(spark) -> None:
+    """Drop all cached tables AND persistent RDDs between query groups.
+
+    Each algorithm run leaves behind eagerly localCheckpoint-ed edge blocks
+    and per-iteration state blocks; df.unpersist() cannot free a
+    localCheckpoint (the data lives as a plain persisted RDD, not in the
+    cache manager), so without this the blocks accumulate until JVM-side
+    GC of the RDD handles — deserialized edge blocks for a 16M-edge graph
+    are GBs, and storage pressure steals execution memory from later
+    queries. Safe here because no DataFrame crosses a group boundary."""
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(False)
+
+
 def main() -> None:
     spark = get_spark("minigraph_spark_bench", shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
@@ -77,10 +92,13 @@ def main() -> None:
     )
     timed("wcc_events", lambda: run_wcc(seq).iterations)
     timed("lpa5_events", lambda: run_lpa(seq, max_iter=5).iterations)
+    clear_storage(spark)
 
     # --- deterministic R-MAT graph: the scale headline -------------------
-    rmat = make_rmat_edges(spark, RMAT_POWER, RMAT_EDGES, seed=42)
-    n_edges = timed("rmat_materialize", rmat.persist().count)
+    # storage-backed, not driver-born: a LocalRelation re-ships from the
+    # driver on every scan (fixtures.ensure_rmat_parquet docstring)
+    rmat = make_rmat_edges_parquet(spark, RMAT_POWER, RMAT_EDGES, seed=42)
+    n_edges = timed("rmat_materialize", rmat.count)
 
     # fixed-iteration run: clean edges/sec/iteration accounting (a tol-based
     # stop at 1/n-scale values converges in a handful of sweeps and would
@@ -92,14 +110,17 @@ def main() -> None:
     iters = max(pr.iterations, 1)
     extras["pagerank_rmat_iterations"] = iters
     extras["edges_per_sec_per_iter"] = round(n_edges * iters / pr_sec, 1)
+    clear_storage(spark)
 
     timed("wcc_rmat", lambda: run_wcc(rmat).iterations)
+    clear_storage(spark)
     tri_graph = (
         rmat
         if (TRI_POWER, TRI_EDGES) == (RMAT_POWER, RMAT_EDGES)
-        else make_rmat_edges(spark, TRI_POWER, TRI_EDGES, seed=42)
+        else make_rmat_edges_parquet(spark, TRI_POWER, TRI_EDGES, seed=42)
     )
     timed("triangles_rmat", lambda: triangle_count(tri_graph).collect())
+    clear_storage(spark)
 
     # --- training-data pipeline operators --------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -29,33 +29,13 @@ LEVELS = tuple(
 )
 
 
-def edges_parquet_path() -> str:
-    return f"/tmp/minigraph_scaling_edges_p{RMAT_POWER}_e{RMAT_EDGES}.parquet"
-
-
 def ensure_edges_parquet() -> str:
-    """Generate the R-MAT edge table once and store it as parquet via
-    pyarrow (no JVM): both levels then READ the same file — measuring the
-    iteration loop, not driver-side fixture serialization (a pandas-born
-    DataFrame is a LocalRelation re-shipped from the driver on every use)."""
-    path = edges_parquet_path()
-    if not os.path.exists(path):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    """Generate the R-MAT edge table once, store as parquet (no JVM): both
+    levels then READ the same file — measuring the iteration loop, not
+    driver-side fixture serialization (see fixtures.ensure_rmat_parquet)."""
+    from minigraph_spark.fixtures import ensure_rmat_parquet
 
-        from minigraph_spark.fixtures import make_rmat_edges_np
-
-        chunk = 8_000_000  # bound generator memory (E x power float matrix)
-        schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-        with pq.ParquetWriter(path + ".tmp", schema) as w:
-            done = 0
-            while done < RMAT_EDGES:
-                n = min(chunk, RMAT_EDGES - done)
-                e = make_rmat_edges_np(RMAT_POWER, n, seed=42 + done)
-                w.write_table(pa.table({"src": e[:, 0], "dst": e[:, 1]}, schema=schema))
-                done += n
-        os.replace(path + ".tmp", path)
-    return path
+    return ensure_rmat_parquet(RMAT_POWER, RMAT_EDGES, seed=42)
 
 
 def run_level(cores: int) -> None:

@@ -134,3 +134,47 @@ def make_hub_edges_np(num_vertices: int, num_edges: int, seed: int = 42) -> np.n
 def tiny7_edges(spark: SparkSession) -> DataFrame:
     pdf = pd.DataFrame(TINY7_EDGES, columns=["src", "dst"])
     return spark.createDataFrame(pdf, schema="src long, dst long")
+
+
+def ensure_rmat_parquet(
+    power: int,
+    num_edges: int,
+    seed: int = 42,
+    directory: str = "/tmp",
+    chunk: int = 8_000_000,
+) -> str:
+    """Materialize the seeded R-MAT edge table as a parquet file (written
+    once, chunked so generator memory stays bounded) and return its path.
+
+    Benchmarks and any multi-use consumer MUST read the graph from storage
+    rather than holding a driver-born DataFrame: a pandas-created DataFrame
+    is a LocalRelation that Spark re-ships from the driver on every stage
+    that scans it — even under persist() it measured 2x slower end-to-end
+    on a 2M-edge triangle count. Reading parquet also matches the real
+    deployment (the 10^9-edge graph lives in Iceberg, not on the driver).
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{directory}/minigraph_rmat_p{power}_e{num_edges}_s{seed}.parquet"
+    if os.path.exists(path):
+        return path
+    schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    with pq.ParquetWriter(path + ".tmp", schema) as w:
+        done = 0
+        while done < num_edges:
+            n = min(chunk, num_edges - done)
+            e = make_rmat_edges_np(power, n, seed=seed + done)
+            w.write_table(pa.table({"src": e[:, 0], "dst": e[:, 1]}, schema=schema))
+            done += n
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def make_rmat_edges_parquet(
+    spark: SparkSession, power: int, num_edges: int, seed: int = 42
+) -> DataFrame:
+    """Storage-backed R-MAT edge DataFrame (see ensure_rmat_parquet)."""
+    return spark.read.parquet(ensure_rmat_parquet(power, num_edges, seed))

@@ -101,7 +101,9 @@ class SuperstepEngine:
         spark = edges.sparkSession
         n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.spark = spark
+        _ids0 = self._persistent_ids()
         self.edges = prepartition_edges(edges.select("src", "dst"), n, by="src")
+        self._edge_rdd_ids = self._persistent_ids() - _ids0
         self.num_partitions = n
         self.hot_keys = heavy_hitters(self.edges, "dst") if salt_skew else []
         self.checkpoint_dir = checkpoint_dir
@@ -118,6 +120,36 @@ class SuperstepEngine:
         self._stats_reset_every = int(
             __import__("os").environ.get("MG_STATS_RESET_EVERY", "1")
         )
+
+    # -- persistent-RDD bookkeeping -------------------------------------
+    # df.unpersist() cannot free a localCheckpoint (its data lives as a
+    # plain persisted RDD outside the cache manager), so without explicit
+    # freeing every superstep leaks one V-row block set until JVM GC of the
+    # RDD handle — measured 40-70% throughput loss on repeated 16M-edge
+    # runs as storage stole execution memory. The loop snapshots the
+    # persistent-RDD id set around each state materialization and frees the
+    # PREVIOUS state's ids once the new state's blocks exist (safe: the
+    # checkpoint truncated the new state's lineage, so old blocks are
+    # unreachable). Assumes the usual single driver loop per session —
+    # concurrent persists from other threads would land in the diff.
+
+    def _persistent_ids(self) -> set:
+        return set(self.spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    def _free_ids(self, ids: set) -> None:
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            if rid in jmap:
+                jmap[rid].unpersist(False)
+
+    def close(self) -> None:
+        """Free the engine's prepartitioned edge blocks (an eager
+        localCheckpoint — see prepartition_edges). The engine is unusable
+        afterwards; final algorithm states held by callers are unaffected."""
+        try:
+            self._free_ids(getattr(self, "_edge_rdd_ids", set()))
+        except Exception:
+            pass
 
     def vertices(self) -> DataFrame:
         """Distinct vertex ids of the edge table (A8 analog:
@@ -209,6 +241,7 @@ class SuperstepEngine:
             prev_extra = {k: row[k] for k in extra_agg}
 
         result = SuperstepResult(state=state)
+        prev_state_ids: set = set()  # init persist freed by state.unpersist()
         window_start = start_iter
         while window_start < max_iter:
             steps = min(fuse, max_iter - window_start)
@@ -250,6 +283,7 @@ class SuperstepEngine:
             # starts multiplying megabyte-long numbers.
             if window_start == _EXPLAIN:
                 new_state.explain("formatted")
+            ids_before = self._persistent_ids()
             reset_round = it % self._stats_reset_every == self._stats_reset_every - 1
             if reset_round:
                 new_state = new_state.persist()
@@ -271,6 +305,11 @@ class SuperstepEngine:
                 new_state = truncated
             for df in ctx["_unpersist_after"]:
                 df.unpersist()
+            # free the PREVIOUS superstep's state blocks now that the new
+            # state is materialized (see _persistent_ids docstring)
+            new_state_ids = self._persistent_ids() - ids_before
+            self._free_ids(prev_state_ids)
+            prev_state_ids = new_state_ids
 
             checkpointed = False
             if self.checkpoint_dir and (

@@ -50,7 +50,9 @@ def run_bfs(
             improved.alias("active"),
         )
 
-    return eng.run(
+    res = eng.run(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs",
     )
+    eng.close()
+    return res

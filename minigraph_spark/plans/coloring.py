@@ -60,7 +60,7 @@ def run_coloring(
             bumped.alias("active"),
         )
 
-    return eng.run(
+    res = eng.run(
         init,
         scatter=scatter,
         combiner="sum",
@@ -69,6 +69,8 @@ def run_coloring(
         max_iter=max_iter,
         algo="coloring",
     )
+    eng.close()
+    return res
 
 
 def coloring_conflicts(edges: DataFrame, colors: DataFrame) -> int:

@@ -52,7 +52,9 @@ def run_lpa(
             (new_val != F.col("value")).alias("active"),
         )
 
-    return eng.run(
+    res = eng.run(
         init, scatter=scatter, combiner="mode", apply_fn=apply_fn,
         frontier=False, max_iter=max_iter, algo="lpa",
     )
+    eng.close()  # free the engine's edge blocks; the result state is independent
+    return res

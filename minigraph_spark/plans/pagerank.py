@@ -100,10 +100,13 @@ def run_pagerank(
                 )
             )
 
-        return eng.run(
+        res = eng.run(
             init, scatter=scatter, combiner="sum", apply_fn=apply_fn,
             frontier=False, max_iter=max_iter, fuse=fuse, algo="pagerank",
         )
+        if engine is None:
+            eng.close()  # free owned edge blocks; caller-passed engines live on
+        return res
 
     if variant == "minigraph":
         indeg = eng.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
@@ -138,10 +141,13 @@ def run_pagerank(
                 )
             )
 
-        return eng.run(
+        res = eng.run(
             init, scatter=scatter_mg, combiner="sum", apply_fn=apply_mg,
             frontier=False, max_iter=max_iter, fuse=fuse,
             algo="pagerank_minigraph",
         )
+        if engine is None:
+            eng.close()
+        return res
 
     raise ValueError(f"unknown variant {variant!r}")

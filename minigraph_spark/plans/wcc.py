@@ -88,7 +88,7 @@ def run_wcc(
     init = eng.vertices().select(
         "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
     )
-    return eng.run(
+    res = eng.run(
         init,
         scatter=_scatter_label,
         combiner="min",
@@ -97,6 +97,8 @@ def run_wcc(
         max_iter=max_iter,
         algo="wcc_directed" if directed else "wcc",
     )
+    eng.close()
+    return res
 
 
 def component_sizes(labels: DataFrame) -> DataFrame:
