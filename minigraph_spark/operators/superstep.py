@@ -102,7 +102,9 @@ class SuperstepEngine:
         n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.spark = spark
         _ids0 = self._persistent_ids()
-        self.edges = prepartition_edges(edges.select("src", "dst"), n, by="src")
+        # keep any extra columns the caller selected (e.g. SSSP weights) —
+        # scatter functions see self.edges as-is; only (src, dst) is required
+        self.edges = prepartition_edges(edges, n, by="src")
         self._edge_rdd_ids = self._persistent_ids() - _ids0
         self.num_partitions = n
         self.hot_keys = heavy_hitters(self.edges, "dst") if salt_skew else []

@@ -193,3 +193,29 @@ def bfs_dist(edges: np.ndarray, root: int) -> dict[int, int]:
                 dist[v] = dist[u] + 1
                 q.append(v)
     return dist
+
+
+def sssp_dist(edges_w, root: int) -> dict[int, int]:
+    """Directed weighted shortest paths (Dijkstra; unreachable omitted).
+    The reference only *declares* weighted edge lists (weighted layout
+    documented at utility/io/edge_list_io_adapter.h:24-30 but loading is
+    stubbed "not supported now", csr_io_adapter.h:47-49); our engine
+    supports them for real via run_bfs(weight_col=...)."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, w in edges_w:
+        adj[int(s)].append((int(d), int(w)))
+    dist = {root: 0}
+    pq = [(0, root)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist

@@ -198,6 +198,19 @@ walk(v, d) AS (
 SELECT v AS vid, MIN(d) AS dist FROM walk GROUP BY v
 """
 
+_SSSP_W_MOD_SQL = f"""
+WITH RECURSIVE
+edges AS (SELECT src, dst, 1 + ((src * 31 + dst) % 9) AS w FROM ({MOD_SQL})),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+root AS (SELECT MIN(v) AS rv FROM verts),
+walk(v, d) AS (
+  SELECT rv, CAST(0 AS BIGINT) FROM root
+  UNION
+  SELECT e.dst, wk.d + e.w FROM walk wk JOIN edges e ON e.src = wk.v WHERE wk.d < 2000
+)
+SELECT v AS vid, MIN(d) AS dist FROM walk GROUP BY v
+"""
+
 _TRI_MOD_SQL = f"""
 WITH edges AS ({MOD_SQL}),
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
@@ -372,6 +385,21 @@ def _q_bfs_mod(spark, sf_dir):
     )
 
 
+def _q_sssp_weighted_mod(spark, sf_dir):
+    """Weighted SSSP over the mod graph — weight is a deterministic
+    function of the endpoints so Spark and the DuckDB oracle agree without
+    sharing state. The reference declares but never supports weighted
+    edges (csr_io_adapter.h:47-49); run_bfs(weight_col=...) does."""
+    e = mod_edges(spark, sf_dir).withColumn(
+        "w", (F.lit(1) + (F.col("src") * 31 + F.col("dst")) % 9).cast("long")
+    )
+    root = e.select(F.least(F.min("src"), F.min("dst")).alias("r")).collect()[0]["r"]
+    res = run_bfs(e, root=int(root), weight_col="w", engine_kwargs={"salt_skew": False})
+    return res.state.filter(F.col("value").isNotNull()).select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     return text_fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -481,6 +509,7 @@ QUERIES = {
     "wcc_components_snr": _q_wcc_snr,
     "wcc_csr_components_snr": _q_wcc_csr_snr,
     "bfs_mod": _q_bfs_mod,
+    "sssp_weighted_mod": _q_sssp_weighted_mod,
     "doc_fingerprint": _q_doc_fingerprint,
     "exact_dedup_keep_min": _q_dedup_keep_min,
     "minhash_signatures": _q_minhash,
@@ -541,6 +570,7 @@ ORACLE_SQL = {
     "wcc_components_snr": _WCC_SNR_SQL,
     "wcc_csr_components_snr": _WCC_SNR_SQL,
     "bfs_mod": _BFS_MOD_SQL,
+    "sssp_weighted_mod": _SSSP_W_MOD_SQL,
     "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
     "exact_dedup_keep_min": """
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))

@@ -69,3 +69,20 @@ def test_triangles_rmat(spark):
     per_v = per_vertex_triangles(df)
     total = sum(r["triangles"] for r in per_v.collect())
     assert total == 3 * want
+
+
+def test_sssp_weighted_rmat(spark):
+    import pandas as pd
+
+    arr = make_rmat_edges_np(power=7, num_edges=500, seed=13)
+    # deterministic per-edge weights 1..9 (same convention as the
+    # sssp_weighted_mod driver query)
+    w = 1 + (arr[:, 0] * 31 + arr[:, 1]) % 9
+    pdf = pd.DataFrame({"src": arr[:, 0], "dst": arr[:, 1], "w": w})
+    e = spark.createDataFrame(pdf, schema="src long, dst long, w long")
+    root = int(arr[0, 0])
+    res = run_bfs(e, root=root, weight_col="w")
+    got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
+    want = oracle.sssp_dist(pdf.to_numpy().tolist(), root=root)
+    assert got == want
+    assert got[root] == 0
