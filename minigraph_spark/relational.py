@@ -400,6 +400,48 @@ def _q_sssp_weighted_mod(spark, sf_dir):
     )
 
 
+def _q_stream_seq_edges(spark, sf_dir):
+    """Structured Streaming face of the seq-edge projection: a deterministic
+    transcript fixture is written as 3 arrival-ordered files, drained with
+    maxFilesPerTrigger=1 (each conversation spans micro-batches, exercising
+    the cross-batch applyInPandasWithState chain), and the streamed edge set
+    — equal to the batch projection by construction — is returned.
+    Rows-only in the driver (streaming query, not SQL-expressible);
+    tests/test_streaming.py carries the exact equality proof."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .fixtures import make_transcripts_pdf
+    from .streaming import (
+        read_transcript_stream,
+        run_available_now,
+        stream_seq_edges,
+    )
+
+    pdf = make_transcripts_pdf(120, seed=29)
+    path = f"/tmp/mg_stream_seq_src_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    num_files = 3
+    rank = pdf.groupby("conv_id")["turn_idx"].rank(method="first") - 1
+    size = pdf.groupby("conv_id")["turn_idx"].transform("size")
+    slot = (rank * num_files // size).astype(int)
+    for k in range(num_files):
+        part = pdf[slot == k]
+        if len(part):
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                f"{path}/part-{k:03d}.parquet",
+            )
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
+    return run_available_now(
+        stream_seq_edges(stream), f"stream_seq_edges_{os.getpid()}"
+    ).select("src", "dst", "kind", "conv_id")
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     return text_fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -510,6 +552,7 @@ QUERIES = {
     "wcc_csr_components_snr": _q_wcc_csr_snr,
     "bfs_mod": _q_bfs_mod,
     "sssp_weighted_mod": _q_sssp_weighted_mod,
+    "stream_seq_edges": _q_stream_seq_edges,
     "doc_fingerprint": _q_doc_fingerprint,
     "exact_dedup_keep_min": _q_dedup_keep_min,
     "minhash_signatures": _q_minhash,
@@ -630,4 +673,5 @@ ROWS_ONLY = {
     "ann_cosine_topk_lsh",
     "media_features",
     "coloring_mod",
+    "stream_seq_edges",
 }
