@@ -346,6 +346,12 @@ def _q_triangles(spark, sf_dir):
     return triangle_count(mod_edges(spark, sf_dir))
 
 
+def _q_triangles_per_vertex(spark, sf_dir):
+    from .plans.triangles import per_vertex_triangles
+
+    return per_vertex_triangles(mod_edges(spark, sf_dir))
+
+
 def _q_pagerank3(spark, sf_dir):
     res = run_pagerank(mod_edges(spark, sf_dir), tol=0.0, max_iter=3,
                        engine_kwargs={"salt_skew": False})
@@ -545,6 +551,7 @@ QUERIES = {
     "graph_stats": _q_graph_stats,
     "vertex_compaction": _q_vertex_compaction,
     "triangle_count_mod": _q_triangles,
+    "triangles_per_vertex_mod": _q_triangles_per_vertex,
     "pagerank3_mod": _q_pagerank3,
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
@@ -607,6 +614,21 @@ ORACLE_SQL = {
       SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS dense_id FROM verts
     """,
     "triangle_count_mod": _TRI_MOD_SQL,
+    "triangles_per_vertex_mod": f"""
+      WITH edges AS ({MOD_SQL}),
+      und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      ord_e AS (SELECT src, dst FROM und WHERE src < dst),
+      tri AS (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM ord_e ab JOIN ord_e bc ON bc.src = ab.dst
+        JOIN ord_e ac ON ac.src = ab.src AND ac.dst = bc.dst
+      ),
+      corners AS (
+        SELECT a AS vid FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL SELECT c FROM tri
+      )
+      SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY vid
+    """,
     "pagerank3_mod": _pagerank3_sql(),
     "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
     "lpa2_mod": _lpa2_sql(),
