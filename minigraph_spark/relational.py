@@ -69,6 +69,46 @@ SEQ_SQL = """
 """
 
 
+def events_tool_edges(spark: SparkSession, sf_dir: str, max_fanout: int = 4) -> DataFrame:
+    """Relational face of operators/project.py::tool_edges (§3.3 axis b):
+    each event links to up to max_fanout LATER events of the same
+    (user_id, event_type) — same self-join + windowed fan-out cap, with
+    events standing in for tool turns on the driver testdata."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    a = ev.select(
+        "user_id", "event_type",
+        F.col("ts").alias("src_ts"), F.col("event_id").alias("src"),
+    )
+    b = ev.select(
+        "user_id", "event_type",
+        F.col("ts").alias("dst_ts"), F.col("event_id").alias("dst"),
+    )
+    joined = a.join(b, ["user_id", "event_type"]).filter(
+        (F.col("dst_ts") > F.col("src_ts"))
+        | ((F.col("dst_ts") == F.col("src_ts")) & (F.col("dst") > F.col("src")))
+    )
+    w = Window.partitionBy("user_id", "event_type", "src").orderBy("dst_ts", "dst")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_fanout)
+        .select("src", "dst")
+    )
+
+
+TOOL_EDGES_SQL = """
+  SELECT src, dst FROM (
+    SELECT a.event_id AS src, b.event_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.user_id, a.event_type, a.event_id
+             ORDER BY b.ts, b.event_id
+           ) AS rn
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+     AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+  ) WHERE rn <= 4
+"""
+
+
 def mod_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     src = (F.col("event_id") % MOD).alias("src")
@@ -545,6 +585,7 @@ def _q_wcc_seq_converged(spark, sf_dir):
 
 QUERIES = {
     "seq_edge_projection": _q_seq_edges,
+    "tool_edge_projection": events_tool_edges,
     "degree_out": _q_degree_out,
     "degrees": _q_degrees,
     "distinct_vertex_count": _q_distinct_vertex_count,
@@ -581,6 +622,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "seq_edge_projection": SEQ_SQL,
+    "tool_edge_projection": TOOL_EDGES_SQL,
     "degree_out": f"SELECT src AS vid, COUNT(*) AS out_degree FROM ({SEQ_SQL}) GROUP BY src",
     "degrees": f"""
       WITH seq AS ({SEQ_SQL}),
