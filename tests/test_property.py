@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure-Python/NumPy kernels —
+fast invariant checks that don't need a SparkSession, complementing the
+example-based Spark tests (SURVEY.md §5 test plan)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from minigraph_spark import oracle
+from minigraph_spark.operators.csr import build_csr_block
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=200
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(edges_strategy)
+def test_csr_block_invariants(pairs):
+    src = np.array([p[0] for p in pairs], dtype=np.int64)
+    dst = np.array([p[1] for p in pairs], dtype=np.int64)
+    verts, offsets, in_src, src_local, dst_local = build_csr_block(src, dst)
+    # verts: sorted distinct union of endpoints; local ids round-trip
+    assert (verts == np.unique(np.concatenate([src, dst]))).all()
+    assert (verts[src_local] == src).all() and (verts[dst_local] == dst).all()
+    # offsets: monotone prefix sums ending at |E|; slice k holds exactly the
+    # sources of k's in-edges (as a multiset)
+    assert offsets[0] == 0 and offsets[-1] == len(pairs)
+    assert (np.diff(offsets) >= 0).all()
+    for k in range(verts.size):
+        got = sorted(verts[in_src[offsets[k]: offsets[k + 1]]].tolist())
+        want = sorted(s for s, d in pairs if d == verts[k])
+        assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(edges_strategy)
+def test_wcc_oracle_is_partition_refinement_of_bfs(pairs):
+    """Union-find oracle sanity: two vertices with equal labels must be
+    mutually reachable in the undirected closure (checked via BFS), and
+    labels are the component minimum."""
+    labels = oracle.wcc_labels(np.array(pairs))
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for v, lab in labels.items():
+        # component minimum property
+        seen, stack = {v}, [v]
+        while stack:
+            u = stack.pop()
+            for w in adj.get(u, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        assert lab == min(seen)
+        assert all(labels[w] == lab for w in seen)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=30, unique=True),
+    st.integers(1, 5),
+    st.randoms(use_true_random=False),
+)
+def test_stream_chain_equals_batch(turn_idx, num_batches, rnd):
+    """The stateful seq-edge chain, fed ANY split of a conversation's turns
+    into arrival batches with non-decreasing turn_idx (and arbitrary
+    duplicate re-deliveries of already-seen turns), emits exactly the batch
+    projection's consecutive-pair edges, each once."""
+    from pyspark.sql.streaming.state import GroupState  # noqa: F401  (import parity)
+
+    from minigraph_spark.streaming import _make_seq_edges_stateful
+
+    turns = sorted(turn_idx)
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    fn = _make_seq_edges_stateful(None)
+    state = FakeState()
+    # split into contiguous batches, then append a replay of a random prefix
+    cuts = sorted(rnd.sample(range(len(turns) + 1), min(num_batches - 1, len(turns))))
+    batches = []
+    lo = 0
+    for c in cuts + [len(turns)]:
+        batches.append(turns[lo:c])
+        lo = c
+    if turns:
+        batches.append(turns[: rnd.randrange(len(turns)) + 1])  # duplicate replay
+    got = []
+    for b in batches:
+        if not b:
+            b_df = pd.DataFrame({"turn_idx": pd.Series([], dtype="int64")})
+        else:
+            b_df = pd.DataFrame({"turn_idx": b})
+        for out in fn(("c",), iter([b_df]), state):
+            got += list(zip(out["src_turn"], out["dst_turn"]))
+    want = list(zip(turns, turns[1:]))
+    assert got == want
