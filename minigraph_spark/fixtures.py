@@ -136,15 +136,32 @@ def tiny7_edges(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(pdf, schema="src long, dst long")
 
 
+def _write_rmat_part(args) -> None:
+    power, n, seed, part_path = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    e = make_rmat_edges_np(power, n, seed=seed)
+    pq.write_table(
+        pa.table(
+            {"src": e[:, 0], "dst": e[:, 1]},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        ),
+        part_path,
+    )
+
+
 def ensure_rmat_parquet(
     power: int,
     num_edges: int,
     seed: int = 42,
     directory: str = "/tmp",
     chunk: int = 8_000_000,
+    workers: int = 8,
 ) -> str:
-    """Materialize the seeded R-MAT edge table as a parquet file (written
-    once, chunked so generator memory stays bounded) and return its path.
+    """Materialize the seeded R-MAT edge table as a parquet directory
+    (written once; chunks generated in parallel worker processes so the
+    10^8-edge fixtures don't serialize on one core) and return its path.
 
     Benchmarks and any multi-use consumer MUST read the graph from storage
     rather than holding a driver-born DataFrame: a pandas-created DataFrame
@@ -152,24 +169,30 @@ def ensure_rmat_parquet(
     that scans it — even under persist() it measured 2x slower end-to-end
     on a 2M-edge triangle count. Reading parquet also matches the real
     deployment (the 10^9-edge graph lives in Iceberg, not on the driver).
+    Deterministic: chunk k always uses seed+k*chunk regardless of workers.
     """
     import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    import shutil
+    from concurrent.futures import ProcessPoolExecutor
 
     path = f"{directory}/minigraph_rmat_p{power}_e{num_edges}_s{seed}.parquet"
     if os.path.exists(path):
         return path
-    schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-    with pq.ParquetWriter(path + ".tmp", schema) as w:
-        done = 0
-        while done < num_edges:
-            n = min(chunk, num_edges - done)
-            e = make_rmat_edges_np(power, n, seed=seed + done)
-            w.write_table(pa.table({"src": e[:, 0], "dst": e[:, 1]}, schema=schema))
-            done += n
-    os.replace(path + ".tmp", path)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    jobs = []
+    done = 0
+    while done < num_edges:
+        n = min(chunk, num_edges - done)
+        jobs.append((power, n, seed + done, f"{tmp}/part-{len(jobs):05d}.parquet"))
+        done += n
+    if len(jobs) == 1:
+        _write_rmat_part(jobs[0])
+    else:
+        with ProcessPoolExecutor(max_workers=min(workers, len(jobs))) as ex:
+            list(ex.map(_write_rmat_part, jobs))
+    os.replace(tmp, path)
     return path
 
 
