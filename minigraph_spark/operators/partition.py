@@ -168,10 +168,21 @@ def prepartition_edges(
         # makes the per-iteration sort-merge scatter join exchange-free AND
         # sort-free on the (big) edge side — only the (small) vertex-state
         # side is sorted each superstep.
+        from pyspark import StorageLevel
+
         from ..session import iterative_confs
 
         with iterative_confs(edges.sparkSession):
-            out = out.localCheckpoint(eager=True)
+            # SERIALIZED blocks (MEMORY_AND_DISK, not the _DESER default):
+            # deserialized UnsafeRow objects cost ~60-70 B/row, which OOMed
+            # the 48g sandbox JVM at 512M symmetrized edges; serialized
+            # packs ~3x denser and the once-per-superstep sequential scan
+            # amortizes the deserialization. At 10^9 edges on a real
+            # cluster this is the difference between caching the graph and
+            # re-reading it from storage every iteration.
+            out = out.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
     return out
 
 
