@@ -86,3 +86,11 @@ def test_sssp_weighted_rmat(spark):
     want = oracle.sssp_dist(pdf.to_numpy().tolist(), root=root)
     assert got == want
     assert got[root] == 0
+
+
+def test_triangles_degenerate(spark):
+    empty = spark.createDataFrame([], schema="src long, dst long")
+    assert triangle_count(empty).collect()[0]["num_triangles"] == 0
+    assert per_vertex_triangles(empty).count() == 0
+    loop = spark.createDataFrame([(1, 1)], schema="src long, dst long")
+    assert triangle_count(loop).collect()[0]["num_triangles"] == 0
