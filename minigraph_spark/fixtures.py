@@ -178,7 +178,10 @@ def ensure_rmat_parquet(
     path = f"{directory}/minigraph_rmat_p{power}_e{num_edges}_s{seed}.parquet"
     if os.path.exists(path):
         return path
-    tmp = path + ".tmp"
+    # pid-suffixed temp dir: concurrent invocations each build their own
+    # (identical, content-deterministic) copy and the first rename wins —
+    # a shared ".tmp" would let one process rmtree another's in-progress dir
+    tmp = f"{path}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     jobs = []
@@ -192,7 +195,10 @@ def ensure_rmat_parquet(
     else:
         with ProcessPoolExecutor(max_workers=min(workers, len(jobs))) as ex:
             list(ex.map(_write_rmat_part, jobs))
-    os.replace(tmp, path)
+    if os.path.exists(path):
+        shutil.rmtree(tmp, ignore_errors=True)  # another writer finished first
+    else:
+        os.replace(tmp, path)
     return path
 
 

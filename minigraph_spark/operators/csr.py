@@ -73,33 +73,74 @@ def build_csr_block(src: np.ndarray, dst: np.ndarray):
     return verts, offsets, in_src, src_local, dst_local
 
 
+# distances/labels never exceed this; far below int64 max so transient
+# INF + weight sums cannot overflow
+INF64 = 1 << 62
+
+
+def make_minplus_block(delta: str | None):
+    """Generic fragment kernel factory — the repo analog of the reference's
+    auto-parallelized user kernel surface (auto_map.h:92-120, F(u,v) at
+    :39-43): per fragment, build the CSR block and run a vectorized
+    min-plus sweep to LOCAL fixpoint before emitting border proposals:
+
+        state[v] = min(state[v], min over in-edges (state[src] + delta))
+
+    delta=None  -> 0 per edge: min-label propagation (WCC / components).
+    delta='unit'-> 1 per edge: BFS levels (sssp_vc_stream.cpp:25-28).
+    delta='w'   -> the edge's `w` column: weighted SSSP.
+
+    Any monotone idempotent min-plus kernel is semantics-preserving under
+    local sub-iteration (module docstring); sum-gather kernels (PageRank)
+    must NOT go through this path.
+    """
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        sstate = pdf["src_state"].to_numpy(np.int64)
+        dstate = pdf["dst_state"].to_numpy(np.int64)
+        verts, offsets, in_src, src_local, dst_local = build_csr_block(src, dst)
+
+        # seed local state with the min incoming state per vertex
+        # (write_min analog, utility/atomic.h:30-38).
+        # Sentinel: labels span the FULL int64 range (xxhash64 vids can
+        # exceed 2^62), so label mode uses int64 max (safe: delta adds 0);
+        # distance modes use INF64 so transient INF + weight cannot overflow
+        inf = np.iinfo(np.int64).max if delta is None else INF64
+        st = np.full(verts.size, inf, dtype=np.int64)
+        np.minimum.at(st, src_local, sstate)
+        np.minimum.at(st, dst_local, dstate)
+
+        if delta is None:
+            w_in: np.ndarray | int = 0
+        elif delta == "unit":
+            w_in = 1
+        else:
+            order = np.argsort(dst_local, kind="stable")  # same order as in_src
+            w_in = pdf[delta].to_numpy(np.int64)[order]
+
+        indeg_nz = (offsets[1:] - offsets[:-1]) > 0
+        starts = offsets[:-1][indeg_nz]
+        # local fixpoint: gather min over in-neighbors via reduceat on the
+        # CSR (the inner ActiveEMap loop, wcc_vc_batch.cpp:139-148)
+        while starts.size:
+            gathered = np.minimum.reduceat(st[in_src] + w_in, starts)
+            new = st.copy()
+            new[indeg_nz] = np.minimum(st[indeg_nz], gathered)
+            if np.array_equal(new, st):
+                break
+            st = new
+        return pd.DataFrame({"vid": verts, "value": st})
+
+    return block
+
+
 def _minlabel_block(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One fragment's PEval/IncEval: CSR build + min-label sweeps to local
-    fixpoint, emitting (vid, value) border proposals."""
-    src = pdf["src"].to_numpy(np.int64)
-    dst = pdf["dst"].to_numpy(np.int64)
-    slab = pdf["src_label"].to_numpy(np.int64)
-    dlab = pdf["dst_label"].to_numpy(np.int64)
-    verts, offsets, in_src, src_local, dst_local = build_csr_block(src, dst)
-
-    # seed local state with the min incoming label per vertex (write_min
-    # analog, utility/atomic.h:30-38)
-    lab = np.full(verts.size, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(lab, src_local, slab)
-    np.minimum.at(lab, dst_local, dlab)
-
-    indeg_nz = (offsets[1:] - offsets[:-1]) > 0
-    starts = offsets[:-1][indeg_nz]
-    # local fixpoint: gather min over in-neighbors via reduceat on the CSR
-    # (the inner ActiveEMap loop, wcc_vc_batch.cpp:139-148)
-    while starts.size:
-        gathered = np.minimum.reduceat(lab[in_src], starts)
-        new = lab.copy()
-        new[indeg_nz] = np.minimum(lab[indeg_nz], gathered)
-        if np.array_equal(new, lab):
-            break
-        lab = new
-    return pd.DataFrame({"vid": verts, "value": lab})
+    """One fragment's PEval/IncEval for WCC: min-label sweeps to local
+    fixpoint (make_minplus_block with delta=None; kept as the named entry
+    the WCC loop and tests reference)."""
+    pdf = pdf.rename(columns={"src_label": "src_state", "dst_label": "dst_state"})
+    return make_minplus_block(None)(pdf)
 
 
 def run_wcc_csr(
@@ -216,4 +257,125 @@ def _run_wcc_csr(
             result.converged = True
             break
     e.unpersist()
+    return result
+
+
+def run_bfs_csr(
+    edges: DataFrame,
+    root: int,
+    weight_col: str | None = None,
+    num_partitions: int | None = None,
+    max_rounds: int = 500,
+    partition: str = "hash",
+) -> SuperstepResult:
+    """BFS / min-plus SSSP via per-partition CSR blocks + local
+    sub-iterations (the generalized kernel surface the WCC CSR path uses —
+    reference parity: the sssp_vc_stream.cpp:103-158 inner loop running
+    inside each fragment before border exchange).
+
+    partition='hash' (default): hash(src) fragments — correct everywhere.
+    partition='range': the reference's contiguous edge-cut rule
+    (edge_cut_partitioner.h:251-254) — on graphs with id locality (paths,
+    grids, compacted ids) fragments contract whole runs locally, cutting
+    global rounds from O(diameter) to O(num_fragments); this is exactly the
+    locality argument for the reference's edge-cut partitioner.
+
+    Unreachable vertices end with value NULL (same face as plans.bfs).
+    """
+    with iterative_confs(edges.sparkSession):
+        return _run_bfs_csr(edges, root, weight_col, num_partitions, max_rounds, partition)
+
+
+def _run_bfs_csr(
+    edges: DataFrame,
+    root: int,
+    weight_col: str | None,
+    num_partitions: int | None,
+    max_rounds: int,
+    partition: str,
+) -> SuperstepResult:
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col("src"), F.col("dst")] + (
+        [F.col(weight_col).cast("long").alias("w")] if weight_col else []
+    )
+    graph = edges.select(*cols)
+    if partition == "range":
+        from .partition import edge_cut_pid
+
+        nv = graph.agg(
+            (F.greatest(F.max("src"), F.max("dst")) + 1).alias("nv")
+        ).collect()[0]["nv"]
+        pid = edge_cut_pid(F.col("src"), int(nv), p)
+    else:
+        pid = F.pmod(F.xxhash64("src"), F.lit(p)).cast("int")
+    e = graph.withColumn("pid", pid).repartition(p, "pid").persist()
+    state = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select(
+            "vid",
+            F.when(F.col("vid") == root, F.lit(0))
+            .otherwise(F.lit(INF64))
+            .cast("long")
+            .alias("value"),
+        )
+        .persist()
+    )
+    state.count()
+    block = make_minplus_block("w" if weight_col else "unit")
+
+    result = SuperstepResult(state=state)
+    for rnd in range(max_rounds):
+        t0 = time.time()
+        work = (
+            e.join(
+                state.select(F.col("vid").alias("src"), F.col("value").alias("src_state")),
+                "src",
+            ).join(
+                state.select(F.col("vid").alias("dst"), F.col("value").alias("dst_state")),
+                "dst",
+            )
+        )
+        proposals = work.groupBy("pid").applyInPandas(block, schema="vid long, value long")
+        agg = proposals.groupBy("vid").agg(F.min("value").alias("new_value"))
+        merged = (
+            state.join(agg, "vid", "left")
+            .select(
+                "vid",
+                F.col("value").alias("_old"),
+                F.least(F.col("value"), F.coalesce("new_value", "value")).alias("value"),
+            )
+            .persist()
+        )
+        changed = int(
+            merged.agg(
+                F.sum((F.col("value") < F.col("_old")).cast("long")).alias("c")
+            ).collect()[0]["c"]
+            or 0
+        )
+        truncated = merged.localCheckpoint(eager=True)
+        merged.unpersist()
+        state.unpersist()
+        state = truncated.select("vid", "value")
+        result.state = state
+        result.iterations = rnd + 1
+        result.metrics.append(
+            IterationMetrics(
+                iteration=rnd,
+                num_active=changed,
+                num_changed=changed,
+                num_messages=-1,
+                elapsed_sec=time.time() - t0,
+                checkpointed=False,
+            )
+        )
+        if changed == 0:
+            result.converged = True
+            break
+    e.unpersist()
+    result.state = state.select(
+        "vid", F.when(F.col("value") >= INF64, F.lit(None)).otherwise(F.col("value")).alias("value")
+    )
     return result

@@ -177,16 +177,41 @@ def simhash_fingerprints(
 
 def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2,
                        text_col: str = "text") -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs within Hamming distance. Exact
-    (all-pairs on the fingerprint table — fingerprints are tiny; at scale,
-    block by bit-bands first, same trick as minhash_lsh_pairs)."""
+    """(doc_a, doc_b, hamming) pairs within Hamming distance — bit-band
+    blocked, same trick as minhash_lsh_pairs, and EXACT: the fingerprint is
+    split into max_hamming+1 disjoint bit bands, and by pigeonhole any pair
+    within `max_hamming` flipped bits agrees exactly on at least one band.
+    Candidates come from per-band equi-joins (bucket sizes bounded by band
+    width; no O(n^2) stage), then the true Hamming distance filters them.
+    Output equals the all-pairs formulation row-for-row."""
+    num_bands = max_hamming + 1
     fps = simhash_fingerprints(docs, bits, text_col)
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    base, rem = divmod(bits, num_bands)
+    bands = []
+    lo = 0
+    for b in range(num_bands):
+        width = base + (1 if b < rem else 0)
+        key = F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << width) - 1))
+        bands.append(
+            fps.select(
+                "doc_id", "simhash", F.lit(b).alias("band"), key.alias("bucket")
+            )
+        )
+        lo += width
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"), "band", "bucket"
+    )
     return (
-        a.crossJoin(b)
+        left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

@@ -147,11 +147,46 @@ def cosine_topk_lsh(
 
 
 def embedding_cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim) — embedding-cosine near-duplicate pairs, the
+    scale path: candidates are pairs colliding in ANY hyperplane hash table
+    (band-OR LSH via hyperplane_buckets — bucketed, no quadratic stage),
+    then exactly scored and thresholded. Recall follows the standard LSH
+    curve (1 - (1 - p^planes)^tables with p = 1 - angle/pi); tune
+    num_planes/num_tables per threshold. Deterministic given the seed."""
+    b = hyperplane_buckets(embeddings, num_planes, dim, seed, id_col, vec_col, num_tables)
+    cand = (
+        b.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+        .join(b.select(F.col("vec_id").alias("vec_b"), "table", "bucket"), ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = embeddings.select(F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("va"))
+    c = embeddings.select(F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(c, "vec_b")
+        .select("vec_a", "vec_b", cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_cosine_dup_pairs_exact(
     embeddings: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_a, vec_b, sim) — embedding-cosine near-duplicate pairs (exact
-    all-pairs; at scale use hyperplane_buckets to block first)."""
+    """Exact all-pairs verifier for embedding_cosine_dup_pairs — O(n^2)
+    by construction, for sampled/bucketed validation use only."""
     a = embeddings.select(F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("va"))
     b = embeddings.select(F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("vb"))
     return (

@@ -119,9 +119,11 @@ class SuperstepEngine:
         # reset_every=8 averaged 14.5s/iter (planning-bound spikes to 64s),
         # reset_every=1 runs a steady 1.5s/iter. The reset's second job is a
         # cheap V-row cache scan; always take it.
-        self._stats_reset_every = int(
-            __import__("os").environ.get("MG_STATS_RESET_EVERY", "1")
-        )
+        try:
+            _reset = int(__import__("os").environ.get("MG_STATS_RESET_EVERY", "1"))
+        except ValueError:
+            _reset = 1
+        self._stats_reset_every = max(1, _reset)
 
     # -- persistent-RDD bookkeeping -------------------------------------
     # df.unpersist() cannot free a localCheckpoint (its data lives as a

@@ -88,11 +88,15 @@ def _edge_intersections(e: DataFrame) -> DataFrame:
 def triangle_count(
     edges: DataFrame, by_degree: bool = True, method: str = "intersect"
 ) -> DataFrame:
-    """One-row DataFrame (num_triangles). Exact on the undirected closure."""
+    """One-row DataFrame (num_triangles). Exact on the undirected closure.
+
+    The aggregate is taken eagerly (one row) so the oriented edge cache can
+    be freed before returning — previously every call leaked an E-row
+    persist for the session lifetime."""
     e = oriented_edges(edges, by_degree, materialize=True)
     if method == "intersect":
         out = _edge_intersections(e).agg(
-            F.coalesce(F.sum(F.size("cs")), F.lit(0)).alias("num_triangles")
+            F.coalesce(F.sum(F.size("cs")), F.lit(0)).cast("long").alias("num_triangles")
         )
     elif method == "wedge":
         ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -103,14 +107,20 @@ def triangle_count(
         )
     else:
         raise ValueError(f"unknown method: {method}")
-    return out
+    n = out.collect()[0]["num_triangles"]
+    e.unpersist()
+    return edges.sparkSession.createDataFrame([(int(n),)], "num_triangles long")
 
 
 def per_vertex_triangles(edges: DataFrame, by_degree: bool = True) -> DataFrame:
     """(vid, triangles) — per-vertex participation count (nx.triangles
     analog); sums to 3x the global count. Corners u and v of each closed
     wedge contribute the intersection size; every closer c contributes 1
-    via explode — all JVM-side."""
+    via explode — all JVM-side.
+
+    Returned persisted + materialized (V rows) so the E-row oriented edge
+    cache can be freed here instead of leaking; callers may unpersist the
+    result when done."""
     e = oriented_edges(edges, by_degree, materialize=True)
     inter = _edge_intersections(e).filter(F.size("cs") > 0)
     per_corner = (
@@ -118,4 +128,9 @@ def per_vertex_triangles(edges: DataFrame, by_degree: bool = True) -> DataFrame:
         .unionAll(inter.select(F.col("v").alias("vid"), F.size("cs").alias("t")))
         .unionAll(inter.select(F.explode("cs").alias("vid"), F.lit(1).alias("t")))
     )
-    return per_corner.groupBy("vid").agg(F.sum("t").cast("long").alias("triangles"))
+    out = (
+        per_corner.groupBy("vid").agg(F.sum("t").cast("long").alias("triangles")).persist()
+    )
+    out.count()
+    e.unpersist()
+    return out

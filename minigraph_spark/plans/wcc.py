@@ -66,6 +66,31 @@ def _apply_min_jump(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
     return out.repartition(ctx["num_partitions"], "vid")
 
 
+def _apply_min_hook(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+    """_apply_min plus SV-style hooking, without the pointer jump (run_wcc
+    hooking=True, pointer_jump=False — previously silently ignored). Same
+    fixpoint: hooks only deliver ids of ancestors-of-ancestors."""
+    cand = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+    cand = cand.select(
+        "vid",
+        F.least(F.col("value"), F.coalesce(F.col("agg"), F.col("value"))).alias("_c"),
+        F.col("value").alias("_old"),
+    ).localCheckpoint(eager=False)  # shared by hook + merge branches (see jump note)
+    hooks = (
+        cand.filter(F.col("_c") < F.col("_old"))
+        .groupBy(F.col("_old").alias("vid"))
+        .agg(F.min("_c").alias("_h"))
+    )
+    return cand.join(hooks, "vid", "left").select(
+        "vid",
+        F.least(F.col("_c"), F.coalesce(F.col("_h"), F.col("_c"))).alias("value"),
+        (
+            (F.col("_c") < F.col("_old"))
+            | (F.col("_h").isNotNull() & (F.col("_h") < F.col("_c")))
+        ).alias("active"),
+    )
+
+
 def _apply_min_hook_jump(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
     """_apply_min plus Shiloach-Vishkin-style hooking plus a pointer jump.
 
@@ -132,6 +157,7 @@ def run_wcc(
     from the message origin under directed semantics, so it is ignored for
     directed=True) adds the SV-style V-row hook shuffle per superstep; see
     _apply_min_hook_jump for why random vertex ids on path graphs need it.
+    hooking composes with either pointer_jump setting.
     """
     graph = edges.select("src", "dst") if directed else symmetrize(edges)
     eng = SuperstepEngine(graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {}))
@@ -140,6 +166,8 @@ def run_wcc(
     )
     if hooking and not directed and pointer_jump:
         apply_fn = _apply_min_hook_jump
+    elif hooking and not directed:
+        apply_fn = _apply_min_hook
     elif pointer_jump:
         apply_fn = _apply_min_jump
     else:

@@ -1,7 +1,7 @@
 """Relational faces of the engine's operators over the driver testdata
 (FIXTURES.md F6): every entry here powers __spark_entry__.queries() and has
-an exact DuckDB oracle in ORACLE_SQL (same column names, same values) unless
-listed in ROWS_ONLY (genuinely iterative-to-convergence ops).
+an exact DuckDB oracle in ORACLE_SQL (same column names, same values).
+ROWS_ONLY is empty as of round 2 — every query is oracle-checked.
 
 Edge tables derived deterministically from the driver tables:
 - seq edges : per-user event chains (window lead over (user_id, ts,
@@ -10,10 +10,19 @@ Edge tables derived deterministically from the driver tables:
   deterministic digraph on M=200 vertices for the algorithm suite.
 - snr graph : supplier->nation->region keys (5 components, one per region).
 
-Fixed-iteration variants (pagerank3, lpa2) exist because to-convergence
-loops are not ANSI-SQL-expressible; the SQL oracles unroll the exact same
-synchronous update rule, so value equality checks the engine's update rule,
-and the *converged* variants are covered by the NumPy-oracle pytest suite.
+To-convergence loops are covered three ways: recursive CTEs where the
+fixpoint is reachability-shaped (WCC), deterministic unrolling where the
+synchronous update rule is idempotent past its fixpoint (coloring) or the
+converged iteration count is a measured constant of the fixed sf0.01 input
+(PageRank), and NumPy-oracle pytest coverage on top. Unrolled generators
+emit MATERIALIZED CTEs — each round references the previous one 2-3x, and
+DuckDB's default inlining would expand a 50-round chain into an exponential
+tree of parquet scans.
+
+Seeded driver-side constants (LSH hyperplanes, fake/real media payloads)
+are re-derived at oracle-build time with the same NumPy code and emitted as
+SQL literals (VALUES tables), so candidate sets and media features are
+exactly checkable without sharing any runtime state with Spark.
 """
 
 from __future__ import annotations
@@ -21,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.compaction import compact_ids_window, distinct_vertices
+from .operators.compaction import compact_ids_scalable, distinct_vertices
 from .operators.dedup import (
     exact_dedup_keep_min,
     minhash_lsh_pairs,
@@ -146,21 +155,21 @@ SNR_SQL = """
 # ------------------------------------------------------- SQL generators
 def _pagerank3_sql(iters: int = 3, alpha: float = 0.85) -> str:
     parts = [
-        f"WITH edges AS ({MOD_SQL}),",
-        "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
-        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
-        "outdeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),",
-        "r0 AS (SELECT v, (SELECT 1.0/n FROM nn) AS r FROM verts),",
+        f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "outdeg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),",
+        "r0 AS MATERIALIZED (SELECT v, (SELECT 1.0/n FROM nn) AS r FROM verts),",
     ]
     for k in range(1, iters + 1):
         p = f"r{k-1}"
         parts.append(f"""
-dang{k} AS (SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {p} p
+dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {p} p
             LEFT JOIN outdeg od ON od.v = p.v WHERE od.v IS NULL),
-inc{k} AS (SELECT e.dst AS v, SUM(p.r / od.deg) AS s
+inc{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.r / od.deg) AS s
            FROM edges e JOIN {p} p ON p.v = e.src JOIN outdeg od ON od.v = e.src
            GROUP BY e.dst),
-r{k} AS (SELECT v.v,
+r{k} AS MATERIALIZED (SELECT v.v,
            (1 - {alpha}) / nn.n + {alpha} * (COALESCE(i.s, 0.0) + dang{k}.d / nn.n) AS r
          FROM verts v CROSS JOIN nn CROSS JOIN dang{k}
          LEFT JOIN inc{k} i ON i.v = v.v),""")
@@ -170,16 +179,16 @@ r{k} AS (SELECT v.v,
 
 def _pagerank_minigraph3_sql(iters: int = 3, gamma: float = 0.01, eps: float = 0.001) -> str:
     parts = [
-        f"WITH edges AS ({MOD_SQL}),",
-        "verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
-        "indeg AS (SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY dst),",
-        "r0 AS (SELECT v, 1.0 AS r FROM verts),",
+        f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
+        "indeg AS MATERIALIZED (SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY dst),",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 AS r FROM verts),",
     ]
     for k in range(1, iters + 1):
         p = f"r{k-1}"
         parts.append(f"""
-inc{k} AS (SELECT e.dst AS v, SUM(p.r) AS s FROM edges e JOIN {p} p ON p.v = e.src GROUP BY e.dst),
-r{k} AS (SELECT p.v,
+inc{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.r) AS s FROM edges e JOIN {p} p ON p.v = e.src GROUP BY e.dst),
+r{k} AS MATERIALIZED (SELECT p.v,
            CASE WHEN ind.deg IS NOT NULL
                      AND (p.r - {gamma} * i.s / ind.deg) * (p.r - {gamma} * i.s / ind.deg) > {eps}
                 THEN {gamma} * i.s / ind.deg ELSE p.r END AS r
@@ -190,22 +199,52 @@ r{k} AS (SELECT p.v,
     return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
 
 
+def _coloring_sql(iters: int) -> str:
+    """Unrolled synchronous conflict-repair coloring (plans/coloring.py):
+    per round, every canonical edge (src<dst) whose endpoints share a color
+    bumps the smaller endpoint's color by its conflict count. The rule is
+    deterministic and rounds past the fixpoint are no-ops, so unrolling
+    `iters` >= the converged round count reproduces the converged state
+    exactly (46 rounds measured on the sf0.01 mod graph; 54 unrolled).
+
+    Every CTE is MATERIALIZED: each round references the previous one three
+    times, and DuckDB's default CTE inlining would otherwise expand the
+    54-deep chain into an exponential tree of parquet scans (observed as
+    'Too many open files' before it even plans)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
+        "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM edges),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM ce UNION SELECT dst FROM ce),",
+        "c0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS col FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"c{k-1}"
+        parts.append(f"""
+conf{k} AS MATERIALIZED (SELECT e.src AS v, COUNT(*) AS n
+            FROM ce e JOIN {p} a ON a.v = e.src JOIN {p} b ON b.v = e.dst
+            WHERE a.col = b.col GROUP BY e.src),
+c{k} AS MATERIALIZED (SELECT p.v, p.col + COALESCE(n.n, 0) AS col
+         FROM {p} p LEFT JOIN conf{k} n ON n.v = p.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, col AS color FROM c{iters}"
+
+
 def _lpa2_sql(iters: int = 2) -> str:
     parts = [
-        f"WITH edges AS ({MOD_SQL}),",
-        "und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),",
-        "verts AS (SELECT src AS v FROM und UNION SELECT dst FROM und),",
-        "l0 AS (SELECT v, v AS lab FROM verts),",
+        f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
+        "und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM und UNION SELECT dst FROM und),",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts),",
     ]
     for k in range(1, iters + 1):
         p = f"l{k-1}"
         parts.append(f"""
-cnt{k} AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+cnt{k} AS MATERIALIZED (SELECT e.dst AS v, l.lab, COUNT(*) AS c
            FROM und e JOIN {p} l ON l.v = e.src GROUP BY e.dst, l.lab),
-best{k} AS (SELECT v, MIN(lab) AS lab FROM (
+best{k} AS MATERIALIZED (SELECT v, MIN(lab) AS lab FROM (
               SELECT v, lab, c, MAX(c) OVER (PARTITION BY v) AS mx FROM cnt{k}
             ) WHERE c = mx GROUP BY v),
-l{k} AS (SELECT p.v, COALESCE(b.lab, p.lab) AS lab
+l{k} AS MATERIALIZED (SELECT p.v, COALESCE(b.lab, p.lab) AS lab
          FROM {p} p LEFT JOIN best{k} b ON b.v = p.v),""")
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT v AS vid, lab AS label FROM l{iters}"
@@ -328,6 +367,277 @@ sums AS (SELECT doc_id, """
     + " AS BIGINT) AS simhash FROM sums"
 )
 
+_WCC_SEQ_SQL = f"""
+WITH RECURSIVE
+e0 AS ({SEQ_SQL}),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, r.m FROM reach r JOIN und u ON u.src = r.v
+),
+labels AS (SELECT v, MIN(m) AS label FROM reach GROUP BY v)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM labels GROUP BY label
+"""
+
+
+def _plane_values(num_planes: int, num_tables: int, dim: int, seed: int) -> str:
+    """The seeded hyperplanes of operators/similarity.hyperplane_buckets as
+    SQL VALUES rows (t, i, j, w) — driver-side literals in both engines, so
+    LSH candidate sets are deterministic and SQL-checkable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    return ",".join(
+        f"({t},{i},{j},{planes[t, i, j]:.17e})"
+        for t in range(num_tables)
+        for i in range(num_planes)
+        for j in range(dim)
+    )
+
+
+def _ann_lsh_sql(
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    max_query: int = 10,
+) -> str:
+    """Exact oracle for cosine_topk_lsh: sign-bit buckets from the emitted
+    plane constants, band-OR across tables, candidates exactly scored."""
+    vals = _plane_values(num_planes, num_tables, dim, seed)
+    return f"""
+WITH planes(t, i, j, w) AS (VALUES {vals}),
+ce AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding, 1) AS j
+       FROM embeddings),
+dots AS (SELECT c.vec_id, p.t, p.i, SUM(c.x * p.w) AS d
+         FROM ce c JOIN planes p ON p.j = c.j - 1
+         GROUP BY 1, 2, 3),
+buckets AS (SELECT vec_id, t,
+                   SUM(CASE WHEN d > 0 THEN (1 << i) ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id, t),
+qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id < {max_query}),
+cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+         FROM qb JOIN buckets b USING (t, bucket)
+         WHERE b.vec_id != qb.query_id),
+norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nr FROM ce GROUP BY vec_id),
+pair_dots AS (SELECT cd.query_id, cd.neighbor_id, SUM(q.x * c.x) AS dot
+              FROM cand cd
+              JOIN ce q ON q.vec_id = cd.query_id
+              JOIN ce c ON c.vec_id = cd.neighbor_id AND c.j = q.j
+              GROUP BY 1, 2),
+sims AS (SELECT d.query_id, d.neighbor_id, d.dot / (nq.nr * nc.nr) AS sim
+         FROM pair_dots d
+         JOIN norms nq ON nq.vec_id = d.query_id
+         JOIN norms nc ON nc.vec_id = d.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _embedding_dup_lsh_sql(
+    threshold: float = 0.4,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Oracle for embedding_cosine_dup_pairs (LSH path): same plane
+    literals -> same buckets -> same candidate pairs -> exact scoring."""
+    vals = _plane_values(num_planes, num_tables, dim, seed)
+    return f"""
+WITH planes(t, i, j, w) AS (VALUES {vals}),
+ce AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding, 1) AS j
+       FROM embeddings),
+dots AS (SELECT c.vec_id, p.t, p.i, SUM(c.x * p.w) AS d
+         FROM ce c JOIN planes p ON p.j = c.j - 1
+         GROUP BY 1, 2, 3),
+buckets AS MATERIALIZED (SELECT vec_id, t,
+                   SUM(CASE WHEN d > 0 THEN (1 << i) ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM buckets a JOIN buckets b USING (t, bucket)
+         WHERE a.vec_id < b.vec_id),
+norms AS MATERIALIZED (SELECT vec_id, SQRT(SUM(x * x)) AS nr FROM ce GROUP BY vec_id),
+pair_dots AS (SELECT cd.vec_a, cd.vec_b, SUM(qa.x * qb.x) AS dot
+              FROM cand cd
+              JOIN ce qa ON qa.vec_id = cd.vec_a
+              JOIN ce qb ON qb.vec_id = cd.vec_b AND qb.j = qa.j
+              GROUP BY 1, 2),
+sims AS (SELECT d.vec_a, d.vec_b, d.dot / (na.nr * nb.nr) AS sim
+         FROM pair_dots d
+         JOIN norms na ON na.vec_id = d.vec_a
+         JOIN norms nb ON nb.vec_id = d.vec_b)
+SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims WHERE sim >= {threshold}
+"""
+
+
+_SIMHASH_PAIRS_SQL = (
+    "WITH s AS MATERIALIZED ("
+    + _SIMHASH_SQL
+    + """)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+)
+
+
+def _media_features_sql(n: int, seed: int = 7) -> str:
+    """Precomputed VALUES oracle for media_features: the fake-media payloads
+    are seeded (operators/multimodal.py fake_media_rows), so the expected
+    (byte_len, mean, entropy) rows are derived from the same bytes with the
+    same pure NumPy kernel — independent of any Spark execution."""
+    import numpy as np
+
+    from .operators.multimodal import fake_media_rows, payload_stats
+
+    rows = []
+    for mid, payload, _meta in fake_media_rows(n, seed):
+        ln, mean, ent = payload_stats(bytes(payload))
+        rows.append(
+            f"({mid},{ln},{float(np.round(mean, 6)):.17e},{float(np.round(ent, 6)):.17e})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(byte_len AS BIGINT) AS byte_len, "
+        "CAST(byte_mean AS DOUBLE) AS byte_mean, CAST(byte_entropy AS DOUBLE) AS byte_entropy "
+        "FROM (VALUES " + ",".join(rows) + ") AS t(media_id, byte_len, byte_mean, byte_entropy)"
+    )
+
+
+N_REAL_MEDIA = 18  # real-codec fixture size: 6 ppm + 6 bmp + 6 wav
+_REAL_MEDIA_SEED = 11
+
+
+def _decode_image_real_sql(n: int = N_REAL_MEDIA, seed: int = _REAL_MEDIA_SEED,
+                           out_h: int = 8, out_w: int = 8) -> str:
+    """Precomputed VALUES oracle for the REAL image decode: payloads are
+    seeded PPM/BMP encodings, so the expected pixel digests are derived
+    from the same bytes with the pure NumPy codecs — no Spark involved.
+    px_md5 is md5 of the canonical comma-joined pixel string (Spark computes
+    it JVM-side via F.md5; here via hashlib on identical bytes)."""
+    import hashlib
+
+    import numpy as np
+
+    from .operators.multimodal import (
+        _resize_nearest,
+        decode_bmp,
+        decode_ppm,
+        real_media_rows,
+    )
+
+    rows = []
+    for mid, payload, meta in real_media_rows(n, seed):
+        fmt = meta[1]
+        if fmt == "ppm":
+            img = decode_ppm(bytes(payload))
+        elif fmt == "bmp":
+            img = decode_bmp(bytes(payload))
+        else:
+            continue
+        px = _resize_nearest(img, out_h, out_w).ravel().astype(np.int64)
+        s = ",".join(str(int(x)) for x in px)
+        rows.append(
+            f"({mid},{out_h},{out_w},{int(px.sum())},"
+            f"'{hashlib.md5(s.encode()).hexdigest()}')"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(height AS INTEGER) AS height, "
+        "CAST(width AS INTEGER) AS width, CAST(px_sum AS BIGINT) AS px_sum, px_md5 "
+        "FROM (VALUES " + ",".join(rows) + ") AS t(media_id, height, width, px_sum, px_md5)"
+    )
+
+
+def _decode_audio_real_sql(n: int = N_REAL_MEDIA, seed: int = _REAL_MEDIA_SEED) -> str:
+    """Precomputed VALUES oracle for the REAL WAV decode (same pattern)."""
+    import numpy as np
+
+    from .operators.multimodal import decode_wav, real_media_rows
+
+    rows = []
+    for mid, payload, meta in real_media_rows(n, seed):
+        if meta[1] != "wav":
+            continue
+        sr, samples = decode_wav(bytes(payload))
+        x = samples.astype(np.float64)
+        mean_abs = float(np.round(np.abs(x).mean(), 6))
+        rms = float(np.round(np.sqrt((x * x).mean()), 6))
+        rows.append(f"({mid},{sr},{x.size},{mean_abs:.17e},{rms:.17e})")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(sample_rate AS INTEGER) AS sample_rate, "
+        "CAST(n_samples AS BIGINT) AS n_samples, CAST(mean_abs AS DOUBLE) AS mean_abs, "
+        "CAST(rms AS DOUBLE) AS rms "
+        "FROM (VALUES " + ",".join(rows) + ") AS t(media_id, sample_rate, n_samples, mean_abs, rms)"
+    )
+
+
+_STREAM_FIXTURE_CONVS = 120
+_STREAM_FIXTURE_SEED = 29
+_STREAM_FIXTURE_FILES = 3
+
+
+def _ensure_stream_fixture() -> str:
+    """Deterministic 3-file transcript parquet at a FIXED path, consumed by
+    both the streaming query (Spark file-source stream) and its DuckDB
+    oracle (read_parquet of the same files) — content is seed-determined,
+    so writing is idempotent; a pid-suffixed temp dir + rename keeps
+    concurrent writers safe."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .fixtures import make_transcripts_pdf
+
+    path = (
+        f"/tmp/minigraph_stream_fixture_c{_STREAM_FIXTURE_CONVS}"
+        f"_s{_STREAM_FIXTURE_SEED}_f{_STREAM_FIXTURE_FILES}"
+    )
+    if os.path.isdir(path) and len(os.listdir(path)) == _STREAM_FIXTURE_FILES:
+        return path
+    pdf = make_transcripts_pdf(_STREAM_FIXTURE_CONVS, seed=_STREAM_FIXTURE_SEED)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    rank = pdf.groupby("conv_id")["turn_idx"].rank(method="first") - 1
+    size = pdf.groupby("conv_id")["turn_idx"].transform("size")
+    slot = (rank * _STREAM_FIXTURE_FILES // size).astype(int)
+    for k in range(_STREAM_FIXTURE_FILES):
+        part = pdf[slot == k]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            f"{tmp}/part-{k:03d}.parquet",
+        )
+    if os.path.isdir(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, path)
+    return path
+
+
+def _stream_seq_sql() -> str:
+    path = _ensure_stream_fixture()
+    return f"""
+  SELECT conv_id, src_turn, dst_turn FROM (
+    SELECT conv_id, turn_idx AS src_turn,
+           lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst_turn
+    FROM read_parquet('{path}/*.parquet')
+  ) WHERE dst_turn IS NOT NULL
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH ce AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                    generate_subscripts(embedding, 1) AS i
@@ -379,7 +689,10 @@ def _q_graph_stats(spark, sf_dir):
 
 
 def _q_vertex_compaction(spark, sf_dir):
-    return compact_ids_window(distinct_vertices(events_seq_edges(spark, sf_dir)))
+    """Exercises the scale path (range shuffle + Arrow offset pass), not the
+    single-partition window variant — both produce identical output; the
+    window variant is oracle-checked against this one in pytest."""
+    return compact_ids_scalable(distinct_vertices(events_seq_edges(spark, sf_dir)))
 
 
 def _q_triangles(spark, sf_dir):
@@ -431,6 +744,20 @@ def _q_bfs_mod(spark, sf_dir):
     )
 
 
+def _q_bfs_csr_mod(spark, sf_dir):
+    """BFS through the generalized CSR Arrow fragment path (min-plus kernel
+    with local sub-iterations) — same oracle as bfs_mod, so the driver
+    verifies kernel generality, not just WCC's min-label instance."""
+    from .operators.csr import run_bfs_csr
+
+    e = mod_edges(spark, sf_dir)
+    root = e.select(F.least(F.min("src"), F.min("dst")).alias("r")).collect()[0]["r"]
+    res = run_bfs_csr(e, root=int(root), num_partitions=8)
+    return res.state.filter(F.col("value").isNotNull()).select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
 def _q_sssp_weighted_mod(spark, sf_dir):
     """Weighted SSSP over the mod graph — weight is a deterministic
     function of the endpoints so Spark and the DuckDB oracle agree without
@@ -450,42 +777,25 @@ def _q_stream_seq_edges(spark, sf_dir):
     """Structured Streaming face of the seq-edge projection: a deterministic
     transcript fixture is written as 3 arrival-ordered files, drained with
     maxFilesPerTrigger=1 (each conversation spans micro-batches, exercising
-    the cross-batch applyInPandasWithState chain), and the streamed edge set
-    — equal to the batch projection by construction — is returned.
-    Rows-only in the driver (streaming query, not SQL-expressible);
-    tests/test_streaming.py carries the exact equality proof."""
+    the cross-batch applyInPandasWithState chain). Returns the PRE-HASH edge
+    set (conv_id, src_turn, dst_turn) so the DuckDB oracle — a window-lead
+    over the same parquet files — checks it exactly (Spark's xxhash64 is not
+    reproducible SQL-side; the hashing step is oracle-checked via
+    seq_edge_projection). tests/test_streaming.py carries the streamed ==
+    batch equality proof including the hashed face."""
     import os
-    import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from .fixtures import make_transcripts_pdf
     from .streaming import (
         read_transcript_stream,
         run_available_now,
-        stream_seq_edges,
+        stream_seq_edges_raw,
     )
 
-    pdf = make_transcripts_pdf(120, seed=29)
-    path = f"/tmp/mg_stream_seq_src_{os.getpid()}"
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
-    num_files = 3
-    rank = pdf.groupby("conv_id")["turn_idx"].rank(method="first") - 1
-    size = pdf.groupby("conv_id")["turn_idx"].transform("size")
-    slot = (rank * num_files // size).astype(int)
-    for k in range(num_files):
-        part = pdf[slot == k]
-        if len(part):
-            pq.write_table(
-                pa.Table.from_pandas(part, preserve_index=False),
-                f"{path}/part-{k:03d}.parquet",
-            )
+    path = _ensure_stream_fixture()
     stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
     return run_available_now(
-        stream_seq_edges(stream), f"stream_seq_edges_{os.getpid()}"
-    ).select("src", "dst", "kind", "conv_id")
+        stream_seq_edges_raw(stream), f"stream_seq_edges_{os.getpid()}"
+    ).select("conv_id", "src_turn", "dst_turn")
 
 
 def _q_doc_fingerprint(spark, sf_dir):
@@ -510,6 +820,24 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 def _q_simhash(spark, sf_dir):
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_simhash_near_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), bits=16, max_hamming=2)
+
+
+def _q_embedding_dup_lsh(spark, sf_dir):
+    """Near-duplicate embedding pairs via hyperplane-LSH blocking; the
+    testdata embeddings have no true near-dups (max pairwise cosine ~0.51),
+    so the threshold is set low to exercise candidate gen + exact scoring."""
+    from .operators.similarity import embedding_cosine_dup_pairs
+
+    return embedding_cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4, num_planes=4, num_tables=8,
+    )
 
 
 def _q_token_count(spark, sf_dir):
@@ -549,6 +877,27 @@ def _q_media_features(spark, sf_dir):
     return media_features(make_fake_media(spark, N_MEDIA, seed=7))
 
 
+def _q_decode_image_real(spark, sf_dir):
+    from .operators.multimodal import (
+        decode_image,
+        image_pixel_digest,
+        make_real_media,
+    )
+
+    media = make_real_media(spark, N_REAL_MEDIA, seed=_REAL_MEDIA_SEED)
+    decoded = decode_image(
+        media.filter(F.col("meta.media_type") == "image"),
+        out_h=8, out_w=8, fake=False,
+    )
+    return image_pixel_digest(decoded)
+
+
+def _q_decode_audio_real(spark, sf_dir):
+    from .operators.multimodal import decode_audio, make_real_media
+
+    return decode_audio(make_real_media(spark, N_REAL_MEDIA, seed=_REAL_MEDIA_SEED))
+
+
 def _q_frame_sample(spark, sf_dir):
     from .operators.multimodal import frame_sample, make_fake_media
 
@@ -571,7 +920,8 @@ def _q_coloring_mod(spark, sf_dir):
     return res.state.select("vid", F.col("value").alias("color"))
 
 
-# rows-only (to-convergence; covered by NumPy oracles in pytest)
+# to-convergence variants — exact oracles via deterministic unrolling
+# (see ORACLE_SQL comments); also covered by NumPy oracles in pytest
 def _q_pagerank_converged(spark, sf_dir):
     res = run_pagerank(mod_edges(spark, sf_dir), tol=1e-6, max_iter=200,
                        engine_kwargs={"salt_skew": False})
@@ -599,6 +949,7 @@ QUERIES = {
     "wcc_components_snr": _q_wcc_snr,
     "wcc_csr_components_snr": _q_wcc_csr_snr,
     "bfs_mod": _q_bfs_mod,
+    "bfs_csr_mod": _q_bfs_csr_mod,
     "sssp_weighted_mod": _q_sssp_weighted_mod,
     "stream_seq_edges": _q_stream_seq_edges,
     "doc_fingerprint": _q_doc_fingerprint,
@@ -607,6 +958,8 @@ QUERIES = {
     "minhash_lsh_pairs": _q_lsh_pairs,
     "ngram_jaccard_dup": _q_ngram_jaccard,
     "simhash": _q_simhash,
+    "simhash_near_pairs": _q_simhash_near_pairs,
+    "embedding_near_dup_lsh": _q_embedding_dup_lsh,
     "token_count": _q_token_count,
     "token_stats": _q_token_stats,
     "quality_score": _q_quality,
@@ -614,6 +967,8 @@ QUERIES = {
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
     "media_features": _q_media_features,
+    "decode_image_real": _q_decode_image_real,
+    "decode_audio_real": _q_decode_audio_real,
     "frame_sample": _q_frame_sample,
     "coloring_mod": _q_coloring_mod,
     "pagerank_mod_converged": _q_pagerank_converged,
@@ -677,6 +1032,7 @@ ORACLE_SQL = {
     "wcc_components_snr": _WCC_SNR_SQL,
     "wcc_csr_components_snr": _WCC_SNR_SQL,
     "bfs_mod": _BFS_MOD_SQL,
+    "bfs_csr_mod": _BFS_MOD_SQL,
     "sssp_weighted_mod": _SSSP_W_MOD_SQL,
     "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
     "exact_dedup_keep_min": """
@@ -686,6 +1042,8 @@ ORACLE_SQL = {
     "minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "ngram_jaccard_dup": _NGRAM_JACCARD_SQL,
     "simhash": _SIMHASH_SQL,
+    "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
+    "embedding_near_dup_lsh": _embedding_dup_lsh_sql(),
     "token_count": """
       SELECT doc_id,
              CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
@@ -724,18 +1082,33 @@ ORACLE_SQL = {
       FROM agg
     """,
     "ann_cosine_topk": _ANN_TOPK_SQL,
+    "ann_cosine_topk_lsh": _ann_lsh_sql(),
     "frame_sample": FRAME_SAMPLE_SQL,
-    # rows-only by design: pagerank_mod_converged, wcc_seq_converged
-    # (to-convergence loops), ann_cosine_topk_lsh (seeded-hyperplane
-    # candidate set), media_features (RNG binary payloads), coloring_mod
-    # (greedy color values; validity asserted in pytest)
+    "media_features": _media_features_sql(N_MEDIA, seed=7),
+    "decode_image_real": _decode_image_real_sql(),
+    "decode_audio_real": _decode_audio_real_sql(),
+    "stream_seq_edges": _stream_seq_sql(),
+    # coloring: deterministic synchronous rule, converged in 46 rounds on
+    # the sf0.01 mod graph — 54 unrolled rounds (fixpoint rounds are no-ops)
+    "coloring_mod": _coloring_sql(54),
+    # converged PageRank: apply always writes the new value, so a converged
+    # run of N iterations equals a fixed-N unroll; N is a measured constant
+    # of the (deterministic) input — see PAGERANK_CONVERGED_ITERS
+    "pagerank_mod_converged": None,  # filled below (sf-dependent unroll)
+    "wcc_seq_converged": _WCC_SEQ_SQL,
 }
 
-ROWS_ONLY = {
-    "pagerank_mod_converged",
-    "wcc_seq_converged",
-    "ann_cosine_topk_lsh",
-    "media_features",
-    "coloring_mod",
-    "stream_seq_edges",
-}
+# The to-convergence loop count is deterministic for a fixed input; the
+# driver compares at sf0.01, the pytest rehearsal at sf0.001. Unrolling a
+# DIFFERENT count than the loop actually ran changes the 6-dp values, so
+# the oracle is generated per sf from these measured constants.
+PAGERANK_CONVERGED_ITERS = {"sf0.001": 11, "sf0.01": 5}
+
+
+def pagerank_converged_oracle_sql(sf_name: str = "sf0.01") -> str:
+    return _pagerank3_sql(iters=PAGERANK_CONVERGED_ITERS[sf_name])
+
+
+ORACLE_SQL["pagerank_mod_converged"] = pagerank_converged_oracle_sql("sf0.01")
+
+ROWS_ONLY: set[str] = set()

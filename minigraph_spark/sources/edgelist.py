@@ -89,10 +89,18 @@ def retype_ids(edges: DataFrame, dtype: str = "long") -> DataFrame:
     )
 
 
+def sample_edges(edges: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Edge sampling (P10 analog) — the scale-path default: df.sample is
+    fully distributed (per-partition Bernoulli, no count job, no single-task
+    funnel). Row count is approximate (~fraction*n)."""
+    return edges.sample(fraction=fraction, seed=seed)
+
+
 def sample_head_fraction(edges: DataFrame, fraction: float) -> DataFrame:
-    """Head-fraction sampling (P10 parity: tools/python/sampling.py keeps
-    the first r*n rows). Driver-count + limit; at scale prefer
-    df.sample(fraction) — kept literal for parity."""
+    """Literal head-fraction sampling (P10 parity: tools/python/sampling.py
+    keeps the FIRST r*n rows). Driver-count + limit — `limit` funnels
+    through one task at scale, so this is the literal-parity shim only;
+    sample_edges is the default for anything big."""
     n = edges.count()
     return edges.limit(int(fraction * n))
 

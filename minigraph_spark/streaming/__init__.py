@@ -54,11 +54,6 @@ _RAW_EDGE_SCHEMA = T.StructType(
 )
 _STATE_SCHEMA = T.StructType([T.StructField("last_turn", T.IntegerType(), True)])
 
-# keep per-conversation state for this long after the last turn arrives;
-# a conversation resuming later simply restarts its chain (one missed edge
-# per expiry — bounded, documented trade-off for bounded state)
-DEFAULT_CONV_TTL_MS = 6 * 60 * 60 * 1000
-
 
 def read_transcript_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
@@ -81,8 +76,17 @@ def _make_seq_edges_stateful(conv_ttl_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
+
+        def _refresh_ttl() -> None:
+            # every arrival for a live conversation must push its expiry out,
+            # including replay-only batches that emit no edges — otherwise an
+            # active conversation's state can expire mid-stream
+            if conv_ttl_ms is not None and state.exists:
+                state.setTimeoutDuration(conv_ttl_ms)
+
         turns = pd.concat(list(batches), ignore_index=True)
         if len(turns) == 0:
+            _refresh_ttl()
             return
         idx = turns["turn_idx"].sort_values().unique()  # numpy int32, ascending
         prev = state.get[0] if state.exists else None
@@ -91,12 +95,12 @@ def _make_seq_edges_stateful(conv_ttl_ms: int | None):
         if prev is not None:
             idx = idx[idx > prev]
         if len(idx) == 0:
+            _refresh_ttl()
             return
         src = ([prev] if prev is not None else []) + idx[:-1].tolist()
         dst = idx.tolist() if prev is not None else idx[1:].tolist()
         state.update((int(idx[-1]),))
-        if conv_ttl_ms is not None:
-            state.setTimeoutDuration(conv_ttl_ms)
+        _refresh_ttl()
         if not src:
             return
         yield pd.DataFrame(
@@ -106,17 +110,19 @@ def _make_seq_edges_stateful(conv_ttl_ms: int | None):
     return _seq_edges_stateful
 
 
-def stream_seq_edges(
+def stream_seq_edges_raw(
     transcripts: DataFrame, conv_ttl_ms: int | None = None
 ) -> DataFrame:
-    """Incremental sequential-turn edges; schema-compatible with the batch
-    projection (src, dst, kind, conv_id). One shuffle on conv_id per
-    micro-batch (the state exchange); vertex-id hashing stays JVM-side.
+    """Incremental sequential-turn edges in pre-hash form
+    (conv_id, src_turn, dst_turn) — the cross-batch stateful stage on its
+    own, before vertex-id hashing. This face is what the driver's DuckDB
+    oracle checks (a window-lead over the same transcript parquet), since
+    Spark's xxhash64 is not reproducible SQL-side.
 
     conv_ttl_ms: evict a conversation's state this long after its last turn
     (continuous deployments only — see module docstring for why drain-style
     availableNow runs must leave it None)."""
-    raw = (
+    return (
         transcripts.select("conv_id", "turn_idx")
         .groupBy("conv_id")
         .applyInPandasWithState(
@@ -131,6 +137,15 @@ def stream_seq_edges(
             ),
         )
     )
+
+
+def stream_seq_edges(
+    transcripts: DataFrame, conv_ttl_ms: int | None = None
+) -> DataFrame:
+    """Incremental sequential-turn edges; schema-compatible with the batch
+    projection (src, dst, kind, conv_id). One shuffle on conv_id per
+    micro-batch (the state exchange); vertex-id hashing stays JVM-side."""
+    raw = stream_seq_edges_raw(transcripts, conv_ttl_ms)
     return raw.select(
         F.xxhash64(F.col("conv_id"), F.col("src_turn")).alias("src"),
         F.xxhash64(F.col("conv_id"), F.col("dst_turn")).alias("dst"),

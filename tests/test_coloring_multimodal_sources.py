@@ -63,10 +63,11 @@ def test_media_features_deterministic(spark):
     assert [r.asDict() for r in feats] == [r.asDict() for r in again]
 
 
-def test_decode_image_stub_contract(spark):
+def test_decode_image_fake_contract(spark):
+    # compressed-format payloads (png/jpeg) now fail inside the task (see
+    # test_decode_image_unsupported_format_raises); the fake decoder still
+    # provides the deterministic fixture path
     media = make_fake_media(spark, 8, seed=7)
-    with pytest.raises(NotImplementedError):
-        decode_image(media, fake=False)
     out = decode_image(media, out_h=8, out_w=8, fake=True).collect()
     assert len(out) == 8
     assert all(len(r["pixels"]) == 8 * 8 * 3 for r in out)
@@ -133,3 +134,69 @@ def test_lsh_topk_recall(spark):
     ak = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(ek & ak) / len(ek)
     assert recall >= 0.8, recall
+
+
+def test_real_codecs_roundtrip_and_spark_decode(spark):
+    """PPM/BMP/WAV round-trip through the pure-NumPy codecs, and
+    decode_image(fake=False) really decodes them through Spark: pixels out
+    of the Arrow UDF equal the locally decoded + resized reference."""
+    import numpy as np
+
+    from minigraph_spark.operators.multimodal import (
+        _resize_nearest,
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        decode_wav,
+        decode_audio,
+        make_real_media,
+        real_media_rows,
+    )
+    from pyspark.sql import functions as F
+
+    rows = real_media_rows(9, seed=11)
+    media = make_real_media(spark, 9, seed=11)
+    decoded = {
+        r["media_id"]: np.array(r["pixels"], dtype=np.int64)
+        for r in decode_image(
+            media.filter(F.col("meta.media_type") == "image"),
+            out_h=8, out_w=8, fake=False,
+        ).collect()
+    }
+    n_img = 0
+    for mid, payload, meta in rows:
+        fmt = meta[1]
+        if fmt == "wav":
+            continue
+        dec = decode_ppm if fmt == "ppm" else decode_bmp
+        want = _resize_nearest(dec(bytes(payload)), 8, 8).ravel().astype(np.int64)
+        assert np.array_equal(decoded[mid], want), (mid, fmt)
+        n_img += 1
+    assert n_img == 6 and len(decoded) == 6
+
+    audio = {r["media_id"]: r for r in decode_audio(media).collect()}
+    n_wav = 0
+    for mid, payload, meta in rows:
+        if meta[1] != "wav":
+            continue
+        sr, samples = decode_wav(bytes(payload))
+        got = audio[mid]
+        assert got["sample_rate"] == sr
+        assert got["n_samples"] == samples.size
+        x = samples.astype(np.float64)
+        assert got["rms"] == float(np.round(np.sqrt((x * x).mean()), 6))
+        n_wav += 1
+    assert n_wav == 3 and len(audio) == 3
+
+
+def test_decode_image_unsupported_format_raises(spark):
+    """Compressed formats stay stubbed: fake=False on png payloads fails
+    inside the task with NotImplementedError."""
+    import pytest
+
+    from minigraph_spark.operators.multimodal import decode_image, make_fake_media
+
+    media = make_fake_media(spark, 4, seed=3)  # png/jpeg/wav/mp4 formats
+    # PySpark surfaces the worker-side NotImplementedError as the same type
+    with pytest.raises(Exception, match="PIL|NotImplementedError|decoding"):
+        decode_image(media, fake=False).collect()

@@ -72,3 +72,48 @@ def test_wcc_csr_on_transcript_projection(spark):
     arr = np.array([(r["src"], r["dst"]) for r in e.collect()], dtype=np.int64)
     csr = run_wcc_csr(e, num_partitions=8)
     assert labels_dict(csr.state) == oracle.wcc_labels(arr)
+
+
+def test_bfs_csr_matches_run_bfs_and_weighted(spark):
+    """Generalized min-plus CSR kernel: BFS levels and weighted SSSP equal
+    the pure-DataFrame plans on a random digraph."""
+    from pyspark.sql import functions as F
+
+    from minigraph_spark.fixtures import make_rmat_edges
+    from minigraph_spark.operators.csr import run_bfs_csr
+    from minigraph_spark.plans.bfs import run_bfs
+
+    e = make_rmat_edges(spark, 7, 600, seed=13)
+    root = int(e.agg(F.min("src")).collect()[0][0])
+    got = {r["vid"]: r["value"] for r in run_bfs_csr(e, root, num_partitions=4).state.collect()}
+    want = {r["vid"]: r["value"] for r in run_bfs(e, root, engine_kwargs={"salt_skew": False}).state.collect()}
+    assert got == want
+
+    ew = e.withColumn("w", (F.lit(1) + (F.col("src") * 31 + F.col("dst")) % 9).cast("long"))
+    got_w = {
+        r["vid"]: r["value"]
+        for r in run_bfs_csr(ew, root, weight_col="w", num_partitions=4).state.collect()
+    }
+    want_w = {
+        r["vid"]: r["value"]
+        for r in run_bfs(ew, root, weight_col="w", engine_kwargs={"salt_skew": False}).state.collect()
+    }
+    assert got_w == want_w
+
+
+def test_bfs_csr_range_partition_cuts_rounds_on_path(spark):
+    """On a path graph with contiguous ids, range fragments (the reference's
+    edge-cut rule) contract whole runs locally: the CSR path must finish in
+    strictly fewer global rounds than the one-hop-per-superstep run_bfs."""
+    from minigraph_spark.operators.csr import run_bfs_csr
+    from minigraph_spark.plans.bfs import run_bfs
+
+    L = 60
+    path = spark.createDataFrame([(i, i + 1) for i in range(L)], "src long, dst long")
+    csr = run_bfs_csr(path, root=0, num_partitions=4, partition="range")
+    plain = run_bfs(path, root=0, engine_kwargs={"salt_skew": False})
+    got = {r["vid"]: r["value"] for r in csr.state.collect()}
+    assert got == {i: i for i in range(L + 1)}
+    assert csr.converged and plain.converged
+    assert csr.iterations < plain.iterations
+    assert csr.iterations <= 6  # ~num_fragments + verification round

@@ -92,3 +92,25 @@ def test_iterative_confs_scopes_aqe_off_and_restores(spark):
         assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_compact_ids_scalable_equals_window(spark):
+    """The scale path (range shuffle + Arrow offset pass) must produce the
+    exact dense ranking of the window variant on unsorted non-dense ids."""
+    import numpy as np
+
+    from minigraph_spark.operators.compaction import (
+        compact_ids_scalable,
+        compact_ids_window,
+    )
+
+    rng = np.random.default_rng(11)
+    ids = rng.choice(10_000_000, size=5_000, replace=False).astype("int64")
+    vids = spark.createDataFrame([(int(v),) for v in ids], "vid long")
+    got = {
+        r["vid"]: r["dense_id"]
+        for r in compact_ids_scalable(vids, num_partitions=7).collect()
+    }
+    want = {r["vid"]: r["dense_id"] for r in compact_ids_window(vids).collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(len(ids)))

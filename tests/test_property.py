@@ -105,3 +105,74 @@ def test_stream_chain_equals_batch(turn_idx, num_batches, rnd):
             got += list(zip(out["src_turn"], out["dst_turn"]))
     want = list(zip(turns, turns[1:]))
     assert got == want
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """Bit-band blocking is exact by pigeonhole: banded near-pair output
+    must equal the brute-force all-pairs formulation row-for-row."""
+    from pyspark.sql import functions as F
+
+    from minigraph_spark.fixtures import make_transcripts
+    from minigraph_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = (
+        make_transcripts(spark, 120, seed=3)
+        .select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+            F.col("text"),
+        )
+    )
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(docs, bits=16, max_hamming=2).collect()
+    }
+    fps = simhash_fingerprints(docs, 16)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert banded == brute
+    assert len(banded) > 0  # fixture produces real near-pairs
+
+
+def test_embedding_dup_lsh_subset_of_exact(spark):
+    """LSH-blocked dup pairs must be a subset of the exact all-pairs result
+    with identical sims, and recall must be non-trivial at this setting."""
+    import numpy as np
+
+    from minigraph_spark.operators.similarity import (
+        embedding_cosine_dup_pairs,
+        embedding_cosine_dup_pairs_exact,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    # 20 perturbed near-dups of the first 20 vectors
+    near = base[:20] + 0.15 * rng.standard_normal((20, 16))
+    vecs = np.vstack([base, near])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_cosine_dup_pairs(
+            emb, threshold=0.9, num_planes=4, num_tables=8, dim=16
+        ).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_cosine_dup_pairs_exact(emb, threshold=0.9).collect()
+    }
+    assert set(lsh).issubset(set(exact))
+    for k in lsh:
+        assert lsh[k] == exact[k]
+    assert len(exact) >= 15
+    assert len(lsh) / len(exact) >= 0.5  # band-OR recall at 4x8 planes/tables
