@@ -78,22 +78,29 @@ def build_csr_block(src: np.ndarray, dst: np.ndarray):
 INF64 = 1 << 62
 
 
-def make_minplus_block(delta: str | None):
+def make_minplus_block(delta: str | None, op: str = "min"):
     """Generic fragment kernel factory — the repo analog of the reference's
     auto-parallelized user kernel surface (auto_map.h:92-120, F(u,v) at
     :39-43): per fragment, build the CSR block and run a vectorized
-    min-plus sweep to LOCAL fixpoint before emitting border proposals:
+    gather sweep to LOCAL fixpoint before emitting border proposals:
 
-        state[v] = min(state[v], min over in-edges (state[src] + delta))
+        state[v] = op(state[v], op over in-edges (state[src] + delta))
 
-    delta=None  -> 0 per edge: min-label propagation (WCC / components).
-    delta='unit'-> 1 per edge: BFS levels (sssp_vc_stream.cpp:25-28).
+    op='min'|'max' — the write_min/write_max combiner pair
+    (utility/atomic.h:30-47); delta selects the edge increment:
+    delta=None  -> 0 per edge: min/max-label propagation (components).
+    delta='unit'-> 1 per edge: BFS levels / longest-path-on-DAG with max
+                   (sssp_vc_stream.cpp:25-28 for the min instance).
     delta='w'   -> the edge's `w` column: weighted SSSP.
 
-    Any monotone idempotent min-plus kernel is semantics-preserving under
+    Any monotone idempotent (op, +) kernel is semantics-preserving under
     local sub-iteration (module docstring); sum-gather kernels (PageRank)
     must NOT go through this path.
     """
+    if op not in ("min", "max"):
+        raise ValueError(f"op must be 'min' or 'max', got {op!r}")
+    ufunc = np.minimum if op == "min" else np.maximum
+
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         src = pdf["src"].to_numpy(np.int64)
         dst = pdf["dst"].to_numpy(np.int64)
@@ -101,15 +108,19 @@ def make_minplus_block(delta: str | None):
         dstate = pdf["dst_state"].to_numpy(np.int64)
         verts, offsets, in_src, src_local, dst_local = build_csr_block(src, dst)
 
-        # seed local state with the min incoming state per vertex
-        # (write_min analog, utility/atomic.h:30-38).
-        # Sentinel: labels span the FULL int64 range (xxhash64 vids can
-        # exceed 2^62), so label mode uses int64 max (safe: delta adds 0);
-        # distance modes use INF64 so transient INF + weight cannot overflow
-        inf = np.iinfo(np.int64).max if delta is None else INF64
+        # seed local state with the best incoming state per vertex
+        # (write_min/write_max analog, utility/atomic.h:30-47).
+        # Sentinel (the op's identity): labels span the FULL int64 range
+        # (xxhash64 vids can exceed 2^62), so label mode uses the int64
+        # extreme (safe: delta adds 0); distance modes use +-INF64 so
+        # transient INF + weight cannot overflow
+        if delta is None:
+            inf = np.iinfo(np.int64).max if op == "min" else np.iinfo(np.int64).min
+        else:
+            inf = INF64 if op == "min" else -INF64
         st = np.full(verts.size, inf, dtype=np.int64)
-        np.minimum.at(st, src_local, sstate)
-        np.minimum.at(st, dst_local, dstate)
+        ufunc.at(st, src_local, sstate)
+        ufunc.at(st, dst_local, dstate)
 
         if delta is None:
             w_in: np.ndarray | int = 0
@@ -121,12 +132,12 @@ def make_minplus_block(delta: str | None):
 
         indeg_nz = (offsets[1:] - offsets[:-1]) > 0
         starts = offsets[:-1][indeg_nz]
-        # local fixpoint: gather min over in-neighbors via reduceat on the
+        # local fixpoint: gather over in-neighbors via reduceat on the
         # CSR (the inner ActiveEMap loop, wcc_vc_batch.cpp:139-148)
         while starts.size:
-            gathered = np.minimum.reduceat(st[in_src] + w_in, starts)
+            gathered = ufunc.reduceat(st[in_src] + w_in, starts)
             new = st.copy()
-            new[indeg_nz] = np.minimum(st[indeg_nz], gathered)
+            new[indeg_nz] = ufunc(st[indeg_nz], gathered)
             if np.array_equal(new, st):
                 break
             st = new

@@ -117,3 +117,32 @@ def test_bfs_csr_range_partition_cuts_rounds_on_path(spark):
     assert csr.converged and plain.converged
     assert csr.iterations < plain.iterations
     assert csr.iterations <= 6  # ~num_fragments + verification round
+
+
+def test_minplus_block_max_combiner():
+    """write_max parity: max-label propagation through the generic kernel
+    converges each fragment to the component max (pure pandas-level check,
+    no Spark needed)."""
+    import numpy as np
+    import pandas as pd
+
+    from minigraph_spark.operators.csr import make_minplus_block
+
+    # two components: {1,2,3} (cycle) and {10, 11}
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)]
+    pdf = pd.DataFrame(
+        {
+            "src": [a for a, _ in edges],
+            "dst": [b for _, b in edges],
+            "src_state": [a for a, _ in edges],
+            "dst_state": [b for _, b in edges],
+        }
+    )
+    out = make_minplus_block(None, op="max")(pdf)
+    got = dict(zip(out["vid"], out["value"]))
+    assert got == {1: 3, 2: 3, 3: 3, 10: 11, 11: 11}
+
+    out_min = make_minplus_block(None, op="min")(pdf)
+    got_min = dict(zip(out_min["vid"], out_min["value"]))
+    # directed cycle {1,2,3} contracts to 1; 10<->11 contracts to 10
+    assert got_min == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
