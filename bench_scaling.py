@@ -66,6 +66,13 @@ def run_level(cores: int) -> None:
     res = run_pagerank(rmat, tol=0.0, max_iter=ITERATIONS, engine=eng)
     sec = time.time() - t0
     iters = max(res.iterations, 1)
+    # median iteration time rejects transient co-tenant spikes inside the
+    # timed window symmetrically at both levels (this shared sandbox shows
+    # ±30-300% wall variance; BASELINE.md quotes steady-state per-iteration
+    # times for the same reason) — report both mean- and median-based
+    # throughput and let the efficiency table show each
+    iter_secs = [round(m.elapsed_sec, 3) for m in res.metrics]
+    med = sorted(iter_secs)[len(iter_secs) // 2] if iter_secs else sec / iters
     print(
         "LEVEL_RESULT "
         + json.dumps(
@@ -75,7 +82,9 @@ def run_level(cores: int) -> None:
                 "iterations": iters,
                 "sec": round(sec, 3),
                 "setup_sec": setup_sec,
+                "iter_secs": iter_secs,
                 "edges_per_sec_per_iter": round(n_edges * iters / sec, 1),
+                "edges_per_sec_per_iter_median": round(n_edges / med, 1),
             }
         )
     )
@@ -98,11 +107,18 @@ def main() -> None:
                 r = json.loads(line[len("LEVEL_RESULT "):])
                 results[r["cores"]] = r
     pairs = {}
+    pairs_median = {}
     levels = sorted(results)
     for lo, hi in zip(levels, levels[1:]):
         tput_lo = results[lo]["edges_per_sec_per_iter"]
         tput_hi = results[hi]["edges_per_sec_per_iter"]
         pairs[f"{lo}->{hi}"] = round((tput_hi / tput_lo) / (hi / lo), 3)
+        if "edges_per_sec_per_iter_median" in results[lo] and (
+            "edges_per_sec_per_iter_median" in results[hi]
+        ):
+            m_lo = results[lo]["edges_per_sec_per_iter_median"]
+            m_hi = results[hi]["edges_per_sec_per_iter_median"]
+            pairs_median[f"{lo}->{hi}"] = round((m_hi / m_lo) / (hi / lo), 3)
     lo, hi = levels[0], levels[-1]
     eff = (
         results[hi]["edges_per_sec_per_iter"] / results[lo]["edges_per_sec_per_iter"]
@@ -114,6 +130,7 @@ def main() -> None:
                 "value": round(eff, 3),
                 "unit": "efficiency",
                 "pairwise": pairs,
+                "pairwise_median": pairs_median,
                 "levels": results,
                 "rmat_edges": RMAT_EDGES,
             }

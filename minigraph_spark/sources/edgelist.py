@@ -105,6 +105,49 @@ def sample_head_fraction(edges: DataFrame, fraction: float) -> DataFrame:
     return edges.limit(int(fraction * n))
 
 
+def batch_convert_edgelists(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    in_format: str = "csv",
+    out_format: str = "parquet",
+    sep: str = ",",
+    out_sep: str = ",",
+    drop_self_loops: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Batch-over-directory conversion driver (parity:
+    tools/batch_graph_convert.cpp:16-33 BatchEdgeList2EdgeList — parallel
+    read of every edge-list file under src_pt, one merged binary write).
+
+    Spark's readers already parallelize over all files in a directory/glob,
+    so the whole batch driver collapses to one read + one write; what this
+    owns is the format dispatch and the policy knobs (separator, self-loop
+    drop, bucketed binary layout). Returns the converted edge DataFrame.
+
+    in_format:  'csv' (src<sep>dst lines) | 'parquet'
+    out_format: 'parquet' (binary-edge analog, optionally bucketed S4 layout)
+                | 'csv' | 'adjacency_text' (Ligra S11 sink)
+    """
+    if in_format == "csv":
+        edges = read_edge_csv(spark, src_path, sep=sep, drop_self_loops=drop_self_loops)
+    elif in_format == "parquet":
+        edges = read_edges_parquet(spark, src_path)
+        if drop_self_loops:
+            edges = edges.filter(F.col("src") != F.col("dst"))
+    else:
+        raise ValueError(f"unsupported in_format: {in_format!r}")
+    if out_format == "parquet":
+        write_edges_parquet(edges, dst_path, buckets=buckets)
+    elif out_format == "csv":
+        edges.write.mode("overwrite").option("sep", out_sep).csv(dst_path)
+    elif out_format == "adjacency_text":
+        write_adjacency_text(edges, dst_path)
+    else:
+        raise ValueError(f"unsupported out_format: {out_format!r}")
+    return edges
+
+
 def rewrite_separator(
     spark: SparkSession, in_path: str, out_path: str, in_sep: str, out_sep: str
 ) -> None:

@@ -17,6 +17,7 @@ from minigraph_spark.operators.multimodal import (
 from minigraph_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from minigraph_spark.plans.coloring import coloring_conflicts, run_coloring
 from minigraph_spark.sources.edgelist import (
+    batch_convert_edgelists,
     read_edge_csv,
     read_edges_parquet,
     retype_ids,
@@ -107,6 +108,30 @@ def test_adjacency_text_sink(spark, tmp_path):
     lines = sorted(spark.read.text(out).toPandas()["value"])
     assert "0: 2 3" in lines
     assert "3: 1 4" in lines
+
+
+def test_batch_convert_edgelists(spark, tmp_path):
+    # parity: tools/batch_graph_convert.cpp — a DIRECTORY of csv edge lists
+    # converts into one merged binary (parquet) edge table in a single call
+    src = tmp_path / "csvs"
+    src.mkdir()
+    half = len(TINY7_EDGES) // 2
+    (src / "a.csv").write_text("".join(f"{s},{d}\n" for s, d in TINY7_EDGES[:half]))
+    (src / "b.csv").write_text(
+        "".join(f"{s},{d}\n" for s, d in TINY7_EDGES[half:]) + "5,5\n"
+    )
+    out = str(tmp_path / "bin")
+    got = batch_convert_edgelists(spark, str(src), out)
+    assert sorted((r["src"], r["dst"]) for r in got.collect()) == sorted(TINY7_EDGES)
+    back = read_edges_parquet(spark, out)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(TINY7_EDGES)
+
+    # parquet -> adjacency text through the same driver
+    adj = str(tmp_path / "adj")
+    batch_convert_edgelists(spark, out, adj, in_format="parquet",
+                            out_format="adjacency_text")
+    lines = sorted(spark.read.text(adj).toPandas()["value"])
+    assert "0: 2 3" in lines
 
 
 def test_retype_and_sample(spark):
