@@ -74,6 +74,11 @@ def main() -> None:
     spark = get_spark("minigraph_spark_bench", shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            extras["loadavg_start"] = float(fh.read().split()[0])
+    except OSError:
+        pass
 
     def timed(name: str, fn) -> object:
         t0 = time.time()
@@ -110,6 +115,14 @@ def main() -> None:
     iters = max(pr.iterations, 1)
     extras["pagerank_rmat_iterations"] = iters
     extras["edges_per_sec_per_iter"] = round(n_edges * iters / pr_sec, 1)
+    # steady-state view: median per-iteration time from the engine's own
+    # metrics — robust to a single co-tenant spike or JIT-cold first
+    # iteration inside the timed window (same rationale as bench_scaling.py)
+    iter_secs = sorted(m.elapsed_sec for m in pr.metrics)
+    if iter_secs:
+        extras["edges_per_sec_per_iter_median"] = round(
+            n_edges / iter_secs[len(iter_secs) // 2], 1
+        )
     clear_storage(spark)
 
     timed("wcc_rmat", lambda: run_wcc(rmat).iterations)
@@ -132,6 +145,14 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # host load context: this shared sandbox shows ±30-300% wall variance
+    # from co-tenant load; loadavg at start/end lets a reader tell a plan
+    # regression from a noisy window (BASELINE.md variance caveat)
+    try:
+        with open("/proc/loadavg") as fh:
+            extras["loadavg_end"] = float(fh.read().split()[0])
+    except OSError:
+        pass
     print(
         json.dumps(
             {
