@@ -38,6 +38,7 @@ def run_pagerank(
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
     engine: SuperstepEngine | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns state (vid, value=rank). standard ranks sum to 1.
 
@@ -45,6 +46,13 @@ def run_pagerank(
     runs — the one-time prepartition/heavy-hitter cost (the analog of the
     reference's graph_partition_exec step, tools/graph_partition.cpp:98-134)
     then amortizes over every run on the same graph.
+
+    Pass ``init_ranks`` (vid, value — e.g. a previous run's state or a
+    checkpoint snapshot) to warm-start the standard variant across graph
+    versions — the IncEval-style face for PageRank (the power iteration
+    converges to the same damped fixpoint from ANY positive start, so a
+    near-fixpoint start just needs far fewer sweeps; new vertices seed at
+    1/n and the vector is renormalized to sum 1 in-plan).
     """
     eng = engine or SuperstepEngine(
         edges.select("src", "dst"), checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
@@ -56,11 +64,24 @@ def run_pagerank(
         # clamp: an empty edge table has zero vertices; the loop then
         # converges immediately on the empty state instead of dividing by 0
         n = max(verts.count(), 1)
+        if init_ranks is not None:
+            seeded = verts.join(
+                init_ranks.select("vid", F.col("value").alias("_prev")), "vid", "left"
+            ).select("vid", F.coalesce("_prev", F.lit(1.0 / n)).alias("_r"))
+            # renormalize in-plan (1-row broadcast, same device as the
+            # dangling-mass scalar): vertex churn across graph versions
+            # leaves the carried-over mass summing to != 1
+            total = seeded.agg(F.sum("_r").alias("_t"))
+            start_val = F.col("_r") / F.col("_t")
+            seeded = seeded.crossJoin(F.broadcast(total))
+        else:
+            seeded = verts.select("vid", F.lit(1.0 / n).alias("_r"))
+            start_val = F.col("_r")
         init = (
-            verts.join(outdeg.withColumnRenamed("src", "vid"), "vid", "left")
+            seeded.join(outdeg.withColumnRenamed("src", "vid"), "vid", "left")
             .select(
                 "vid",
-                F.lit(1.0 / n).alias("value"),
+                start_val.alias("value"),
                 F.lit(True).alias("active"),
                 F.col("outdeg").cast("double").alias("outdeg"),
             )
@@ -109,6 +130,12 @@ def run_pagerank(
         return res
 
     if variant == "minigraph":
+        if init_ranks is not None:
+            raise ValueError(
+                "init_ranks warm start applies to the standard variant only "
+                "(the minigraph rule's epsilon-gate freezes near-fixpoint "
+                "states rather than refining them)"
+            )
         indeg = eng.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
         init = (
             verts.join(indeg.withColumnRenamed("dst", "vid"), "vid", "left")

@@ -185,6 +185,78 @@ def run_wcc(
     return res
 
 
+def run_wcc_incremental(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    prev_labels: DataFrame,
+    directed: bool = False,
+    max_iter: int = 200,
+    pointer_jump: bool = True,
+    hooking: bool = True,
+    checkpoint_dir: str | None = None,
+    engine_kwargs: dict | None = None,
+) -> SuperstepResult:
+    """IncEval for WCC under edge ADDITIONS: re-converge the label fixpoint
+    starting from a previous converged state, activating only the region the
+    delta touches.
+
+    This is the explicit face of the reference's PEval/IncEval split
+    (2d_pie/auto_app_base.h:39-63 — PEval computes the batch fixpoint,
+    IncEval re-converges from changed inputs): `prev_labels` is the old
+    fixpoint (vid, value) — e.g. a checkpoint snapshot or run_wcc().state —
+    and `delta_edges` are newly arrived edges (the streaming transcript
+    case: new conversation turns project to new seq/tool links).
+
+    Exactness: min-label is monotone — edge additions can only merge
+    components, so old labels are valid upper bounds and propagating from
+    them reaches exactly the batch fixpoint on the union graph. The frontier
+    starts at delta endpoints plus unseen vertices only, so untouched
+    components do ZERO scatter work (messages ∝ affected region, not |V| —
+    the IncEval win). Deletions are NOT supported: removing an edge can
+    split a component, which min-label cannot observe from a converged
+    state; re-run run_wcc for deletions (the reference's IncEval has the
+    same monotone-class restriction).
+    """
+    union_edges = edges.select("src", "dst").unionAll(delta_edges.select("src", "dst"))
+    graph = union_edges if directed else symmetrize(union_edges)
+    eng = SuperstepEngine(graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {}))
+    touched = (
+        delta_edges.select(F.col("src").alias("vid"))
+        .unionAll(delta_edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .withColumn("_touched", F.lit(True))
+    )
+    init = (
+        eng.vertices()
+        .join(prev_labels.select("vid", F.col("value").alias("_prev")), "vid", "left")
+        .join(touched, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("_prev", F.col("vid")).alias("value"),
+            (F.col("_touched").isNotNull() | F.col("_prev").isNull()).alias("active"),
+        )
+    )
+    if hooking and not directed and pointer_jump:
+        apply_fn = _apply_min_hook_jump
+    elif hooking and not directed:
+        apply_fn = _apply_min_hook
+    elif pointer_jump:
+        apply_fn = _apply_min_jump
+    else:
+        apply_fn = _apply_min
+    res = eng.run(
+        init,
+        scatter=_scatter_label,
+        combiner="min",
+        apply_fn=apply_fn,
+        frontier=True,
+        max_iter=max_iter,
+        algo="wcc_incremental",
+    )
+    eng.close()
+    return res
+
+
 def component_sizes(labels: DataFrame) -> DataFrame:
     """(label, size) — the usual reporting face of WCC."""
     return labels.groupBy(F.col("value").alias("label")).agg(

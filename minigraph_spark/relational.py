@@ -933,6 +933,49 @@ def _q_wcc_seq_converged(spark, sf_dir):
     return component_sizes(res.state)
 
 
+# IncEval faces (plans/wcc.py::run_wcc_incremental, plans/bfs.py::
+# run_bfs_incremental): PEval on a deterministic subset of the edges, then
+# incremental re-convergence when the remaining edges "arrive". The
+# algorithms are monotone under additions, so the incremental fixpoint is
+# IDENTICAL to the batch fixpoint on the full graph — the oracle is simply
+# the batch oracle, and a hash match proves the incremental path exact.
+def _q_wcc_incremental_snr(spark, sf_dir):
+    """PEval over supplier->nation links only (one component per nation),
+    IncEval when the nation->region links arrive (components merge into the
+    5 regions) — the daily-delta shape of a transcript link graph."""
+    from .plans.wcc import run_wcc_incremental
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1000).cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + 100).alias("dst"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + 100).alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    prev = run_wcc(sup, engine_kwargs={"salt_skew": False})
+    res = run_wcc_incremental(sup, nat, prev.state,
+                              engine_kwargs={"salt_skew": False})
+    return component_sizes(res.state)
+
+
+def _q_bfs_incremental_mod(spark, sf_dir):
+    """PEval BFS on ~4/5 of the mod graph, IncEval when the held-out fifth
+    arrives; exact vs the batch recursive-CTE oracle on the full graph."""
+    from .plans.bfs import run_bfs_incremental
+
+    e = mod_edges(spark, sf_dir)
+    delta = e.filter((F.col("src") + F.col("dst")) % 5 == 0)
+    base = e.filter((F.col("src") + F.col("dst")) % 5 != 0)
+    root = e.select(F.least(F.min("src"), F.min("dst")).alias("r")).collect()[0]["r"]
+    prev = run_bfs(base, root=int(root), engine_kwargs={"salt_skew": False})
+    res = run_bfs_incremental(base, delta, prev.state, root=int(root),
+                              engine_kwargs={"salt_skew": False})
+    return res.state.filter(F.col("value").isNotNull()).select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
 QUERIES = {
     "seq_edge_projection": _q_seq_edges,
     "tool_edge_projection": events_tool_edges,
@@ -973,6 +1016,8 @@ QUERIES = {
     "coloring_mod": _q_coloring_mod,
     "pagerank_mod_converged": _q_pagerank_converged,
     "wcc_seq_converged": _q_wcc_seq_converged,
+    "wcc_incremental_snr": _q_wcc_incremental_snr,
+    "bfs_incremental_mod": _q_bfs_incremental_mod,
 }
 
 ORACLE_SQL = {
@@ -1096,6 +1141,9 @@ ORACLE_SQL = {
     # of the (deterministic) input — see PAGERANK_CONVERGED_ITERS
     "pagerank_mod_converged": None,  # filled below (sf-dependent unroll)
     "wcc_seq_converged": _WCC_SEQ_SQL,
+    # IncEval == PEval on the full graph for monotone kernels — batch oracles
+    "wcc_incremental_snr": _WCC_SNR_SQL,
+    "bfs_incremental_mod": _BFS_MOD_SQL,
 }
 
 # The to-convergence loop count is deterministic for a fixed input; the

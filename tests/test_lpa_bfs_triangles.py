@@ -94,3 +94,37 @@ def test_triangles_degenerate(spark):
     assert per_vertex_triangles(empty).count() == 0
     loop = spark.createDataFrame([(1, 1)], schema="src long, dst long")
     assert triangle_count(loop).collect()[0]["num_triangles"] == 0
+
+
+def test_bfs_incremental_matches_batch(spark):
+    """IncEval BFS: converge distances on a base graph, add the held-out
+    edges as a delta, re-converge from the old state — identical to batch
+    BFS on the union (min-distance is monotone under additions)."""
+    from minigraph_spark.plans.bfs import run_bfs_incremental
+
+    arr = make_rmat_edges_np(power=7, num_edges=500, seed=13)
+    root = int(arr[0, 0])
+    mask = (arr[:, 0] + arr[:, 1]) % 4 == 0
+    base, delta = arr[~mask], arr[mask]
+    prev = run_bfs(_spark_edges(spark, base), root=root)
+    res = run_bfs_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, delta), prev.state, root=root
+    )
+    got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
+    want = oracle.bfs_dist(arr.tolist(), root=root)
+    assert got == want
+
+
+def test_bfs_incremental_shortens_paths_and_reaches_new_vertices(spark):
+    """A delta shortcut must lower downstream distances, and delta-only
+    vertices must become reachable."""
+    from minigraph_spark.plans.bfs import run_bfs_incremental
+
+    base = np.array([[0, 1], [1, 2], [2, 3], [3, 4]])
+    delta = np.array([[0, 3], [4, 9]])  # shortcut to 3; new vertex 9
+    prev = run_bfs(_spark_edges(spark, base), root=0)
+    res = run_bfs_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, delta), prev.state, root=0
+    )
+    got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 9: 3}

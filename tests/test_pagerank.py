@@ -47,3 +47,20 @@ def test_pagerank_minigraph_rmat(spark):
     res = run_pagerank(_spark_edges(spark, arr), variant="minigraph")
     want = oracle.pagerank_minigraph(arr)
     _assert_allclose(labels_dict(res.state), want)
+
+
+def test_pagerank_warm_start_matches_and_saves_iterations(spark):
+    """IncEval-style warm start: converge on a graph, add edges, restart
+    from the old ranks — same fixpoint (allclose), fewer sweeps."""
+    arr = make_rmat_edges_np(power=7, num_edges=600, seed=9)
+    mask = (arr[:, 0] + arr[:, 1]) % 10 == 0
+    base, full = arr[~mask], arr
+    prev = run_pagerank(_spark_edges(spark, base), tol=1e-9, max_iter=300)
+    cold = run_pagerank(_spark_edges(spark, full), tol=1e-9, max_iter=300)
+    warm = run_pagerank(
+        _spark_edges(spark, full), tol=1e-9, max_iter=300, init_ranks=prev.state
+    )
+    _assert_allclose(labels_dict(warm.state), labels_dict(cold.state), atol=1e-6)
+    assert warm.iterations < cold.iterations
+    # the warm-started vector is still a probability distribution
+    assert abs(sum(labels_dict(warm.state).values()) - 1.0) < 1e-6

@@ -45,3 +45,55 @@ def test_component_sizes(spark):
     res = run_wcc(_spark_edges(spark, arr))
     sizes = {r["label"]: r["size"] for r in component_sizes(res.state).collect()}
     assert sizes == {0: 3, 10: 2}
+
+
+def test_wcc_incremental_matches_batch(spark):
+    """IncEval == PEval on the union graph (monotone min-label): split a
+    random graph, converge on the base, feed the rest as a delta."""
+    from minigraph_spark.plans.wcc import run_wcc_incremental
+
+    arr = make_rmat_edges_np(power=8, num_edges=1200, seed=11)
+    mask = (arr[:, 0] + arr[:, 1]) % 4 == 0
+    base, delta = arr[~mask], arr[mask]
+    prev = run_wcc(_spark_edges(spark, base))
+    res = run_wcc_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, delta), prev.state
+    )
+    assert res.converged
+    assert labels_dict(res.state) == oracle.wcc_labels(arr)
+
+
+def test_wcc_incremental_touches_only_affected_region(spark):
+    """The IncEval win: a delta inside one small component must not reconverge
+    the rest of the graph — total changed-vertex count stays bounded by the
+    affected component, not |V|."""
+    from minigraph_spark.plans.wcc import run_wcc_incremental
+
+    # a 400-vertex chain component (0..399) plus a disjoint 4-cycle
+    chain = np.array([[i, i + 1] for i in range(399)])
+    cyc = np.array([[1000, 1001], [1001, 1002], [1002, 1003]])
+    base = np.concatenate([chain, cyc])
+    delta = np.array([[1003, 1000]])  # closes the cycle; chain untouched
+    prev = run_wcc(_spark_edges(spark, base))
+    res = run_wcc_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, delta), prev.state
+    )
+    assert labels_dict(res.state) == oracle.wcc_labels(np.concatenate([base, delta]))
+    # only the 4 cycle vertices were ever eligible to change; the converged
+    # chain must contribute zero churn across all supersteps
+    assert sum(m.num_changed for m in res.metrics) <= 4
+
+
+def test_wcc_incremental_new_vertices(spark):
+    """Delta edges may introduce brand-new vertices (absent from
+    prev_labels) and may bridge previously separate components."""
+    from minigraph_spark.plans.wcc import run_wcc_incremental
+
+    base = np.array([[0, 1], [10, 11]])
+    delta = np.array([[1, 20], [20, 10]])  # new vertex 20 bridges the two
+    prev = run_wcc(_spark_edges(spark, base))
+    res = run_wcc_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, delta), prev.state
+    )
+    assert labels_dict(res.state) == oracle.wcc_labels(np.concatenate([base, delta]))
+    assert set(labels_dict(res.state).values()) == {0}
