@@ -88,3 +88,44 @@ def test_stream_turn_rates_matches_batch_counts(spark):
         r.window_start.minute % 10 == 0 and r.window_end > r.window_start
         for r in rates.collect()
     )
+
+
+def test_stream_delta_feeds_incremental_wcc(spark, tmp_path):
+    """End-to-end daily-delta composition: stream the transcript log,
+    batch-converge components, then stream the newly arrived turns and
+    maintain the components INCREMENTALLY — the IncEval face consuming the
+    streaming projection's output. Must equal batch WCC on the full log.
+    (A production deployment gets the delta directly from the checkpointed
+    stream; here the second drain re-reads everything, so the delta is the
+    new-minus-old edge set — the same rows.)"""
+    import shutil
+
+    from minigraph_spark.plans.wcc import run_wcc, run_wcc_incremental
+
+    pdf = make_transcripts_pdf(200, seed=23)
+    staging = str(tmp_path / "staging")
+    live = str(tmp_path / "live")
+    _write_arrival_files(pdf, staging, num_files=4)
+    os.makedirs(live, exist_ok=True)
+    files = sorted(os.listdir(staging))
+    for f in files[:3]:
+        shutil.copy(f"{staging}/{f}", f"{live}/{f}")
+
+    stream = read_transcript_stream(spark, live, max_files_per_trigger=1)
+    v1 = run_available_now(stream_seq_edges(stream), "delta_wcc_v1").select("src", "dst")
+    v1.persist().count()
+    prev = run_wcc(v1)
+
+    shutil.copy(f"{staging}/{files[3]}", f"{live}/{files[3]}")
+    stream2 = read_transcript_stream(spark, live, max_files_per_trigger=1)
+    v2 = run_available_now(stream_seq_edges(stream2), "delta_wcc_v2").select("src", "dst")
+    v2.persist().count()
+    delta = v2.exceptAll(v1)
+
+    inc = run_wcc_incremental(v1, delta, prev.state)
+    batch = run_wcc(v2)
+    got = {r["vid"]: r["value"] for r in inc.state.collect()}
+    want = {r["vid"]: r["value"] for r in batch.state.collect()}
+    assert got == want
+    v1.unpersist()
+    v2.unpersist()
