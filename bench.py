@@ -99,6 +99,41 @@ def main() -> None:
     timed("lpa5_events", lambda: run_lpa(seq, max_iter=5).iterations)
     clear_storage(spark)
 
+    # IncEval face, in the production shape: the event log is append-only,
+    # so a daily delta is the LAST slice of each user's chain — not a random
+    # edge sample (which would touch most components and understate the
+    # win). Batch-converge on the first ~90% of every chain (untimed setup;
+    # that cost is wcc_events, already reported), then absorb the appended
+    # tail incrementally. The timed number is the maintenance cost a
+    # pipeline pays per delta, vs re-running wcc_events from scratch.
+    from pyspark.sql import Window
+
+    from minigraph_spark.plans.wcc import run_wcc_incremental
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    chain = (
+        ev.select(
+            F.col("event_id").alias("src"),
+            F.lead("event_id").over(w).alias("dst"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    old_log = F.col("_rn") <= F.lit(0.9) * F.col("_n")
+    base = chain.filter(old_log).select("src", "dst").persist()
+    delta = chain.filter(~old_log).select("src", "dst").persist()
+    prev = run_wcc(base)
+    timed(
+        "wcc_events_incremental",
+        lambda: run_wcc_incremental(base, delta, prev.state).iterations,
+    )
+    base.unpersist()
+    delta.unpersist()
+    clear_storage(spark)
+
     # --- deterministic R-MAT graph: the scale headline -------------------
     # storage-backed, not driver-born: a LocalRelation re-ships from the
     # driver on every scan (fixtures.ensure_rmat_parquet docstring)

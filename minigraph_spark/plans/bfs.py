@@ -22,11 +22,16 @@ def run_bfs(
     weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    engine: SuperstepEngine | None = None,
 ) -> SuperstepResult:
-    """Returns state (vid, value=distance); unreachable vertices have NULL."""
+    """Returns state (vid, value=distance); unreachable vertices have NULL.
+
+    Pass ``engine`` to amortize the one-time prepartition across runs on
+    the same graph (same contract as run_pagerank); it must carry the
+    weight column when weight_col is set."""
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
-    eng = SuperstepEngine(edges.select(*cols), checkpoint_dir=checkpoint_dir,
-                          **(engine_kwargs or {}))
+    eng = engine or SuperstepEngine(edges.select(*cols), checkpoint_dir=checkpoint_dir,
+                                    **(engine_kwargs or {}))
     init = eng.vertices().select(
         "vid",
         F.when(F.col("vid") == root, F.lit(0).cast("long")).alias("value"),
@@ -54,7 +59,8 @@ def run_bfs(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs",
     )
-    eng.close()
+    if engine is None:
+        eng.close()  # free owned edge blocks; caller-passed engines live on
     return res
 
 
@@ -67,6 +73,7 @@ def run_bfs_incremental(
     weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    engine: SuperstepEngine | None = None,
 ) -> SuperstepResult:
     """IncEval for BFS/SSSP under edge ADDITIONS (see
     plans/wcc.py::run_wcc_incremental for the PEval/IncEval framing):
@@ -80,8 +87,9 @@ def run_bfs_incremental(
     """
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     union_edges = edges.select(*cols).unionAll(delta_edges.select(*cols))
-    eng = SuperstepEngine(union_edges, checkpoint_dir=checkpoint_dir,
-                          **(engine_kwargs or {}))
+    # engine, if passed, must hold the UNION edge table (incl. weight_col)
+    eng = engine or SuperstepEngine(union_edges, checkpoint_dir=checkpoint_dir,
+                                    **(engine_kwargs or {}))
     touched = (
         delta_edges.select(F.col("src").alias("vid"))
         .unionAll(delta_edges.select(F.col("dst").alias("vid")))
@@ -127,5 +135,6 @@ def run_bfs_incremental(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs_incremental",
     )
-    eng.close()
+    if engine is None:
+        eng.close()
     return res

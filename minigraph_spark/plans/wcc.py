@@ -144,8 +144,13 @@ def run_wcc(
     hooking: bool = True,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    engine: SuperstepEngine | None = None,
 ) -> SuperstepResult:
     """Min-label propagation; returns state (vid, value=component label).
+
+    Pass ``engine`` (built over the SYMMETRIZED graph unless directed=True)
+    to amortize the one-time prepartition across runs on the same graph,
+    same contract as run_pagerank.
 
     directed=False (default): true WCC on the symmetrized graph.
     directed=True: the reference's literal directed min-label fixpoint
@@ -160,7 +165,9 @@ def run_wcc(
     hooking composes with either pointer_jump setting.
     """
     graph = edges.select("src", "dst") if directed else symmetrize(edges)
-    eng = SuperstepEngine(graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {}))
+    eng = engine or SuperstepEngine(
+        graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+    )
     init = eng.vertices().select(
         "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
     )
@@ -181,7 +188,8 @@ def run_wcc(
         max_iter=max_iter,
         algo="wcc_directed" if directed else "wcc",
     )
-    eng.close()
+    if engine is None:
+        eng.close()  # free owned edge blocks; caller-passed engines live on
     return res
 
 
@@ -195,6 +203,7 @@ def run_wcc_incremental(
     hooking: bool = True,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    engine: SuperstepEngine | None = None,
 ) -> SuperstepResult:
     """IncEval for WCC under edge ADDITIONS: re-converge the label fixpoint
     starting from a previous converged state, activating only the region the
@@ -219,7 +228,11 @@ def run_wcc_incremental(
     """
     union_edges = edges.select("src", "dst").unionAll(delta_edges.select("src", "dst"))
     graph = union_edges if directed else symmetrize(union_edges)
-    eng = SuperstepEngine(graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {}))
+    # engine, if passed, must hold the (symmetrized unless directed) UNION
+    # graph — the caller owns the per-graph-version prepartition lifecycle
+    eng = engine or SuperstepEngine(
+        graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+    )
     touched = (
         delta_edges.select(F.col("src").alias("vid"))
         .unionAll(delta_edges.select(F.col("dst").alias("vid")))
@@ -253,7 +266,8 @@ def run_wcc_incremental(
         max_iter=max_iter,
         algo="wcc_incremental",
     )
-    eng.close()
+    if engine is None:
+        eng.close()
     return res
 
 

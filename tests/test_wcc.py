@@ -97,3 +97,17 @@ def test_wcc_incremental_new_vertices(spark):
     )
     assert labels_dict(res.state) == oracle.wcc_labels(np.concatenate([base, delta]))
     assert set(labels_dict(res.state).values()) == {0}
+
+
+def test_wcc_engine_reuse(spark):
+    """run_wcc(engine=...) amortizes the prepartition across runs on the
+    same graph (run_pagerank's contract); the caller owns the engine."""
+    from minigraph_spark.operators.project import symmetrize
+    from minigraph_spark.operators.superstep import SuperstepEngine
+
+    arr = make_rmat_edges_np(power=7, num_edges=400, seed=17)
+    eng = SuperstepEngine(symmetrize(_spark_edges(spark, arr)), salt_skew=False)
+    r1 = run_wcc(_spark_edges(spark, arr), engine=eng)
+    r2 = run_wcc(_spark_edges(spark, arr), engine=eng)
+    assert labels_dict(r1.state) == labels_dict(r2.state) == oracle.wcc_labels(arr)
+    eng.close()
