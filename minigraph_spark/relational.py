@@ -959,6 +959,68 @@ def _q_wcc_incremental_snr(spark, sf_dir):
     return component_sizes(res.state)
 
 
+_EDGE_CSV_FIXTURE_FILES = 3
+_EDGE_CSV_FIXTURE_ROWS = 400  # per file, before self-loop drop
+
+
+def _ensure_edge_csv_fixture() -> str:
+    """Deterministic directory of CSV edge lists at a fixed path — the
+    batch-convert driver's input, readable by both Spark and DuckDB
+    (same idempotent write pattern as the stream fixture). Contains
+    self-loops on purpose: the reader's drop policy is part of the oracle."""
+    import os
+    import shutil
+
+    path = (
+        f"/tmp/minigraph_edge_csv_fixture_f{_EDGE_CSV_FIXTURE_FILES}"
+        f"_r{_EDGE_CSV_FIXTURE_ROWS}"
+    )
+    if os.path.isdir(path) and len(os.listdir(path)) == _EDGE_CSV_FIXTURE_FILES:
+        return path
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for k in range(_EDGE_CSV_FIXTURE_FILES):
+        lines = []
+        for i in range(_EDGE_CSV_FIXTURE_ROWS):
+            src = (i * 131 + k * 7919) % 997
+            dst = (i * 197 + k * 131 + 1) % 997
+            if i % 50 == 0:
+                dst = src  # deliberate self-loop, must be dropped
+            lines.append(f"{src},{dst}\n")
+        with open(f"{tmp}/edges-{k:02d}.csv", "w") as fh:
+            fh.writelines(lines)
+    if os.path.isdir(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, path)
+    return path
+
+
+def _q_edge_csv_batch_convert(spark, sf_dir):
+    """Batch directory-conversion driver (tools/batch_graph_convert.cpp
+    parity): a directory of CSV edge lists converts to the parquet edge
+    layout in one call; the returned edge set (self-loops dropped, splits
+    merged) is what the oracle checks via DuckDB's read_csv over the SAME
+    files."""
+    import os
+
+    from .sources.edgelist import batch_convert_edgelists
+
+    src = _ensure_edge_csv_fixture()
+    dst = f"/tmp/minigraph_edge_csv_out_{os.getpid()}"
+    return batch_convert_edgelists(spark, src, dst)
+
+
+def _edge_csv_batch_convert_sql() -> str:
+    path = _ensure_edge_csv_fixture()
+    return f"""
+  SELECT src, dst FROM read_csv('{path}/*.csv', header=false,
+                                columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})
+  WHERE src != dst
+"""
+
+
 def _q_bfs_incremental_mod(spark, sf_dir):
     """PEval BFS on ~4/5 of the mod graph, IncEval when the held-out fifth
     arrives; exact vs the batch recursive-CTE oracle on the full graph."""
@@ -1018,6 +1080,7 @@ QUERIES = {
     "wcc_seq_converged": _q_wcc_seq_converged,
     "wcc_incremental_snr": _q_wcc_incremental_snr,
     "bfs_incremental_mod": _q_bfs_incremental_mod,
+    "edge_csv_batch_convert": _q_edge_csv_batch_convert,
 }
 
 ORACLE_SQL = {
@@ -1144,6 +1207,7 @@ ORACLE_SQL = {
     # IncEval == PEval on the full graph for monotone kernels — batch oracles
     "wcc_incremental_snr": _WCC_SNR_SQL,
     "bfs_incremental_mod": _BFS_MOD_SQL,
+    "edge_csv_batch_convert": _edge_csv_batch_convert_sql(),
 }
 
 # The to-convergence loop count is deterministic for a fixed input; the
