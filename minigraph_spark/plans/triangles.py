@@ -112,6 +112,83 @@ def triangle_count(
     return edges.sparkSession.createDataFrame([(int(n),)], "num_triangles long")
 
 
+def triangle_count_incremental(
+    base_edges: DataFrame, delta_edges: DataFrame, prev_count: int
+) -> DataFrame:
+    """IncEval for the triangle count under edge ADDITIONS: maintain the
+    metric without recounting the base graph (see plans/wcc.py::
+    run_wcc_incremental for the PEval/IncEval framing — this is the
+    non-propagation instance: an exactly-maintained aggregate).
+
+    New triangles (those using >= 1 genuinely-new undirected edge) are
+    counted by inclusion-exclusion over how many delta edges each uses:
+
+        dT = S1 - P + S3
+        S1 = sum over new edges (u,v) of |N_U(u) ∩ N_U(v)|   (j-new counted j times)
+        P  = # unordered pairs of new edges sharing a triangle (t2 + 3*t3)
+        S3 = # triangles wholly inside the delta            (t3)
+
+    so dT = t1 + t2 + t3 exactly. All three terms keep the delta on the
+    small side of wedge-style joins (work ∝ delta neighborhood volume, not
+    |E|^1.5 — the whole point at 100 TB); no per-vertex adjacency arrays are
+    built, so hub degrees cannot blow a row. Deltas may repeat base edges,
+    contain both orientations, or self-loops — the canonical closure
+    normalizes all of it (a repeated edge adds no triangle).
+
+    prev_count is triangle_count(base).collect()[0][0] or a maintained
+    scalar. Returns the same one-row face as triangle_count on the union.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    b = canon(base_edges).persist()
+    d = canon(delta_edges).join(b, ["src", "dst"], "left_anti").persist()
+    u_canon = b.unionAll(d)
+    u_und = (
+        u_canon.unionAll(
+            u_canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ).persist()
+
+    # S1: wedge join with the delta edge as the base — (u,v) in D,
+    # (u,w) and (v,w) in U
+    s1 = (
+        d.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(u_und.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u")
+        .join(u_und.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"])
+        .count()
+    )
+    # P: two delta edges sharing vertex w, closed by any union edge {u,v}
+    d_und = d.unionAll(d.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    p = (
+        d_und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+        .join(d_und.select(F.col("src").alias("w"), F.col("dst").alias("v")), "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(u_canon.select(F.col("src").alias("u"), F.col("dst").alias("v")), ["u", "v"])
+        .count()
+    )
+    # S3: triangles wholly inside the delta (canonical a<b<c wedge join)
+    ab = d.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = d.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = d.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    s3 = ab.join(bc, "b").join(ac, ["a", "c"]).count()
+
+    u_und.unpersist()
+    d.unpersist()
+    b.unpersist()
+    total = int(prev_count) + s1 - p + s3
+    return base_edges.sparkSession.createDataFrame(
+        [(int(total),)], "num_triangles long"
+    )
+
+
 def per_vertex_triangles(edges: DataFrame, by_degree: bool = True) -> DataFrame:
     """(vid, triangles) — per-vertex participation count (nx.triangles
     analog); sums to 3x the global count. Corners u and v of each closed

@@ -1021,6 +1021,19 @@ def _edge_csv_batch_convert_sql() -> str:
 """
 
 
+def _q_triangles_incremental_mod(spark, sf_dir):
+    """IncEval triangle maintenance: batch-count ~4/5 of the mod graph,
+    absorb the held-out fifth by inclusion-exclusion over the delta; exact
+    vs the batch wedge-join oracle on the full graph."""
+    from .plans.triangles import triangle_count_incremental
+
+    e = mod_edges(spark, sf_dir)
+    pred = (F.col("src") * 3 + F.col("dst")) % 5 == 0
+    base, delta = e.filter(~pred), e.filter(pred)
+    prev = triangle_count(base).collect()[0][0]
+    return triangle_count_incremental(base, delta, prev)
+
+
 def _q_bfs_incremental_mod(spark, sf_dir):
     """PEval BFS on ~4/5 of the mod graph, IncEval when the held-out fifth
     arrives; exact vs the batch recursive-CTE oracle on the full graph."""
@@ -1080,6 +1093,7 @@ QUERIES = {
     "wcc_seq_converged": _q_wcc_seq_converged,
     "wcc_incremental_snr": _q_wcc_incremental_snr,
     "bfs_incremental_mod": _q_bfs_incremental_mod,
+    "triangle_count_incremental_mod": _q_triangles_incremental_mod,
     "edge_csv_batch_convert": _q_edge_csv_batch_convert,
 }
 
@@ -1207,6 +1221,7 @@ ORACLE_SQL = {
     # IncEval == PEval on the full graph for monotone kernels — batch oracles
     "wcc_incremental_snr": _WCC_SNR_SQL,
     "bfs_incremental_mod": _BFS_MOD_SQL,
+    "triangle_count_incremental_mod": _TRI_MOD_SQL,
     "edge_csv_batch_convert": _edge_csv_batch_convert_sql(),
 }
 

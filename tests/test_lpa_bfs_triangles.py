@@ -128,3 +128,57 @@ def test_bfs_incremental_shortens_paths_and_reaches_new_vertices(spark):
     )
     got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 9: 3}
+
+
+def test_triangle_count_incremental_matches_batch(spark):
+    """IncEval triangle maintenance: dT by inclusion-exclusion over the
+    delta must reproduce the batch count on the union exactly."""
+    from minigraph_spark.plans.triangles import triangle_count_incremental
+
+    arr = make_rmat_edges_np(power=7, num_edges=900, seed=19)
+    mask = (arr[:, 0] * 3 + arr[:, 1]) % 5 == 0
+    base, delta = arr[~mask], arr[mask]
+    prev = triangle_count(_spark_edges(spark, base)).collect()[0][0]
+    got = triangle_count_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, delta), prev
+    ).collect()[0][0]
+    assert got == oracle.triangle_count(arr)
+    assert prev == oracle.triangle_count(base)  # sanity on the base leg
+
+
+def test_triangle_count_incremental_dirty_delta(spark):
+    """Deltas may repeat base edges (either orientation), repeat themselves,
+    or carry self-loops — the canonical closure must neutralize all of it."""
+    import numpy as np
+
+    from minigraph_spark.plans.triangles import triangle_count_incremental
+
+    base = np.array([[0, 1], [1, 2], [3, 4]])
+    # closes triangle 0-1-2; (2,1)/(1,2) duplicate a base edge both ways;
+    # (5,5) self-loop; (0,2) repeated in the delta itself
+    delta = np.array([[2, 0], [2, 1], [1, 2], [5, 5], [0, 2]])
+    got = triangle_count_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, delta), prev_count=0
+    ).collect()[0][0]
+    assert got == 1
+
+    # empty delta: count unchanged
+    got2 = triangle_count_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, np.empty((0, 2), dtype=int)), 7
+    ).collect()[0][0]
+    assert got2 == 7
+
+
+def test_triangle_count_incremental_all_new(spark):
+    """A delta that is an entire new clique (all three edges new) exercises
+    the S3 and P terms together: K4 added to an empty base = 4 triangles."""
+    import numpy as np
+
+    from minigraph_spark.plans.triangles import triangle_count_incremental
+
+    base = np.array([[100, 101]])
+    k4 = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]])
+    got = triangle_count_incremental(
+        _spark_edges(spark, base), _spark_edges(spark, k4), prev_count=0
+    ).collect()[0][0]
+    assert got == 4
