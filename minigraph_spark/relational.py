@@ -1021,6 +1021,27 @@ def _edge_csv_batch_convert_sql() -> str:
 """
 
 
+def _q_sssp_incremental_mod(spark, sf_dir):
+    """Weighted-SSSP IncEval: converge on ~4/5 of the weighted mod graph,
+    absorb the held-out fifth from the previous distance state; exact vs
+    the batch recursive-CTE oracle (min-plus is monotone under additions)."""
+    from .plans.bfs import run_bfs_incremental
+
+    e = mod_edges(spark, sf_dir).withColumn(
+        "w", (F.lit(1) + (F.col("src") * 31 + F.col("dst")) % 9).cast("long")
+    )
+    pred = (F.col("src") + F.col("dst") * 3) % 5 == 0
+    base, delta = e.filter(~pred), e.filter(pred)
+    root = e.select(F.least(F.min("src"), F.min("dst")).alias("r")).collect()[0]["r"]
+    prev = run_bfs(base, root=int(root), weight_col="w",
+                   engine_kwargs={"salt_skew": False})
+    res = run_bfs_incremental(base, delta, prev.state, root=int(root),
+                              weight_col="w", engine_kwargs={"salt_skew": False})
+    return res.state.filter(F.col("value").isNotNull()).select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
 def _q_triangles_incremental_mod(spark, sf_dir):
     """IncEval triangle maintenance: batch-count ~4/5 of the mod graph,
     absorb the held-out fifth by inclusion-exclusion over the delta; exact
@@ -1093,6 +1114,7 @@ QUERIES = {
     "wcc_seq_converged": _q_wcc_seq_converged,
     "wcc_incremental_snr": _q_wcc_incremental_snr,
     "bfs_incremental_mod": _q_bfs_incremental_mod,
+    "sssp_incremental_mod": _q_sssp_incremental_mod,
     "triangle_count_incremental_mod": _q_triangles_incremental_mod,
     "edge_csv_batch_convert": _q_edge_csv_batch_convert,
 }
@@ -1221,6 +1243,7 @@ ORACLE_SQL = {
     # IncEval == PEval on the full graph for monotone kernels — batch oracles
     "wcc_incremental_snr": _WCC_SNR_SQL,
     "bfs_incremental_mod": _BFS_MOD_SQL,
+    "sssp_incremental_mod": _SSSP_W_MOD_SQL,
     "triangle_count_incremental_mod": _TRI_MOD_SQL,
     "edge_csv_batch_convert": _edge_csv_batch_convert_sql(),
 }
