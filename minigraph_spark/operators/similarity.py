@@ -181,6 +181,133 @@ def embedding_cosine_dup_pairs(
     )
 
 
+def _l2_sq(v, cent_lit):
+    return F.aggregate(
+        F.zip_with(v, cent_lit, lambda x, w: (x - w) * (x - w)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """[(cid, [w...])] — deterministic IVF coarse quantizer: initial
+    centroids are the `num_centroids` rows with smallest id (reproducible in
+    any engine, no RNG), refined by `iters` Lloyd rounds whose updated
+    centroids are ROUNDed to 6 decimals. The quantization makes the
+    centroids — and therefore every assignment — bit-stable across engines
+    (Spark vs the DuckDB oracle), the same trick the LSH oracles use for
+    plane literals. Empty clusters are dropped (both engines agree: a
+    cluster with no members produces no AVG row).
+
+    Each Lloyd round is one map-side-combinable groupBy over (cid, dim) —
+    O(N*dim) scan with a num_centroids*dim result collected to the driver
+    (tiny, like the 1-row extra_agg scalars). At 100 TB you train on a
+    sample (embeddings.sample) and raise num_centroids toward sqrt(N); the
+    assignment pass below stays literal math inside whole-stage codegen.
+    """
+    v = _as_double(F.col(vec_col))
+    cents = [
+        (i, [float(x) for x in row["cv"]])
+        for i, row in enumerate(
+            embeddings.select(F.col(id_col).alias("id"), v.alias("cv"))
+            .orderBy("id")
+            .limit(num_centroids)
+            .collect()
+        )
+    ]
+    for _ in range(iters):
+        assign = _ivf_assign_expr(cents, v)
+        dim = len(cents[0][1])
+        new_rows = (
+            embeddings.select(assign.alias("cid"), F.posexplode(v).alias("j", "x"))
+            .groupBy("cid", "j")
+            .agg(F.round(F.avg("x"), 6).alias("w"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in new_rows:
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["j"]] = r["w"]
+        cents = sorted(by_cid.items())
+    return cents
+
+
+def _ivf_assign_expr(cents, v):
+    """argmin_{cid} ||v - centroid_cid||^2 as a literal sort_array pick —
+    ties break toward the smaller cid (struct lexicographic order)."""
+    scored = [
+        F.named_struct(
+            F.lit("d"), _l2_sq(v, F.array(*[F.lit(w) for w in ws])),
+            F.lit("cid"), F.lit(cid),
+        )
+        for cid, ws in cents
+    ]
+    return F.sort_array(F.array(*scored))[0]["cid"]
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k cosine — the partition-pruned scale
+    path alongside cosine_topk_lsh. The corpus is assigned to
+    `num_centroids` Voronoi cells (literal-centroid argmin, no join, no
+    UDF); each query probes its `nprobe` nearest cells and exactly scores
+    only those candidates, reading an expected nprobe/num_centroids
+    fraction of the corpus. nprobe = num_centroids degrades to exact
+    brute force (tested, not assumed). Same output schema as cosine_topk.
+    """
+    cents = ivf_centroids(embeddings, num_centroids, iters, id_col, vec_col)
+    cv = _as_double(F.col(vec_col))
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("cv"),
+        _ivf_assign_expr(cents, cv).alias("cid"),
+    )
+    probes = [
+        F.named_struct(
+            F.lit("d"), _l2_sq(F.col("qv"), F.array(*[F.lit(w) for w in ws])),
+            F.lit("cid"), F.lit(cid),
+        )
+        for cid, ws in cents
+    ]
+    q = queries.select(F.col(id_col).alias("query_id"), cv.alias("qv")).select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(F.sort_array(F.array(*probes)), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.cid").alias("cid"))
+    scored = (
+        corpus.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def embedding_cosine_dup_pairs_exact(
     embeddings: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -39,7 +39,7 @@ from .operators.dedup import (
     simhash_fingerprints,
     text_fingerprint,
 )
-from .operators.similarity import cosine_topk, cosine_topk_lsh
+from .operators.similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .operators.textops import lang_id, quality_score, token_count, token_stats
 from .plans.bfs import run_bfs
 from .plans.lpa import run_lpa
@@ -197,6 +197,56 @@ r{k} AS MATERIALIZED (SELECT p.v,
          LEFT JOIN inc{k} i ON i.v = p.v),""")
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
+
+
+def _pr_rounds(parts, prefix, k, edges, verts, nn, outdeg, prev, alpha):
+    """One unrolled standard-PageRank round (same rule as _pagerank3_sql)
+    under caller-chosen CTE names — shared by the batch and warm-start
+    oracles."""
+    parts.append(f"""
+{prefix}dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {prev} p
+            LEFT JOIN {outdeg} od ON od.v = p.v WHERE od.v IS NULL),
+{prefix}inc{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.r / od.deg) AS s
+           FROM {edges} e JOIN {prev} p ON p.v = e.src JOIN {outdeg} od ON od.v = e.src
+           GROUP BY e.dst),
+{prefix}r{k} AS MATERIALIZED (SELECT v.v,
+           (1 - {alpha}) / nn.n + {alpha} * (COALESCE(i.s, 0.0) + {prefix}dang{k}.d / nn.n) AS r
+         FROM {verts} v CROSS JOIN {nn} nn CROSS JOIN {prefix}dang{k}
+         LEFT JOIN {prefix}inc{k} i ON i.v = v.v),""")
+    return f"{prefix}r{k}"
+
+
+def _pagerank_warm_sql(base_iters: int = 2, warm_iters: int = 2,
+                       alpha: float = 0.85) -> str:
+    """Oracle for the PageRank warm start (run_pagerank(init_ranks=...)):
+    phase 1 runs `base_iters` standard rounds on ~4/5 of the mod graph,
+    phase 2 seeds the FULL graph's vertices from the phase-1 ranks
+    (new vertices at 1/n_full), renormalizes the vector to sum 1 — exactly
+    plans/pagerank.py:67-79 — and runs `warm_iters` more rounds."""
+    parts = [
+        f"WITH alledges AS MATERIALIZED ({MOD_SQL}),",
+        "bedges AS MATERIALIZED (SELECT * FROM alledges WHERE (src + dst*3) % 5 <> 0),",
+        "bverts AS MATERIALIZED (SELECT src AS v FROM bedges UNION SELECT dst FROM bedges),",
+        "bnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bverts),",
+        "boutdeg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM bedges GROUP BY src),",
+        "br0 AS MATERIALIZED (SELECT v, (SELECT 1.0/n FROM bnn) AS r FROM bverts),",
+    ]
+    prev = "br0"
+    for k in range(1, base_iters + 1):
+        prev = _pr_rounds(parts, "b", k, "bedges", "bverts", "bnn", "boutdeg", prev, alpha)
+    parts += [
+        "fverts AS MATERIALIZED (SELECT src AS v FROM alledges UNION SELECT dst FROM alledges),",
+        "fnn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM fverts),",
+        "foutdeg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM alledges GROUP BY src),",
+        f"seeded AS MATERIALIZED (SELECT fv.v, COALESCE(p.r, (SELECT 1.0/n FROM fnn)) AS r "
+        f"FROM fverts fv LEFT JOIN {prev} p ON p.v = fv.v),",
+        "fr0 AS MATERIALIZED (SELECT v, r / (SELECT SUM(r) FROM seeded) AS r FROM seeded),",
+    ]
+    prev = "fr0"
+    for k in range(1, warm_iters + 1):
+        prev = _pr_rounds(parts, "f", k, "alledges", "fverts", "fnn", "foutdeg", prev, alpha)
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM {prev}"
 
 
 def _coloring_sql(iters: int) -> str:
@@ -481,6 +531,70 @@ SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims WHERE sim >= {threshold}
 """
 
 
+def _ann_ivf_sql(
+    k: int = 5,
+    num_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    max_query: int = 10,
+) -> str:
+    """Exact oracle for cosine_topk_ivf: the deterministic coarse quantizer
+    (initial centroids = smallest vec_ids, Lloyd rounds with ROUND(AVG,6)
+    quantization — the same cross-engine bit-stabilization the operator
+    applies) unrolled as one CTE pair per round, then nprobe cell probing
+    and exact candidate scoring."""
+    rounds = []
+    prev = "c0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+d{r} AS (SELECT ce.vec_id, c.cid, SUM((ce.x - c.w) * (ce.x - c.w)) AS d
+         FROM ce JOIN {prev} c ON c.j = ce.j GROUP BY 1, 2),
+a{r} AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM d{r}) WHERE rn = 1),
+c{r} AS MATERIALIZED (SELECT a.cid, ce.j, ROUND(AVG(ce.x), 6) AS w
+         FROM a{r} a JOIN ce ON ce.vec_id = a.vec_id GROUP BY a.cid, ce.j)""")
+        prev = f"c{r}"
+    return f"""
+WITH ce AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding, 1) AS j
+       FROM embeddings),
+ids AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {num_centroids})),
+c0 AS (SELECT i.cid, ce.j, ce.x AS w FROM ids i JOIN ce ON ce.vec_id = i.vec_id),
+{",".join(rounds)},
+df AS (SELECT ce.vec_id, c.cid, SUM((ce.x - c.w) * (ce.x - c.w)) AS d
+       FROM ce JOIN {prev} c ON c.j = ce.j GROUP BY 1, 2),
+af AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM df) WHERE rn = 1),
+qp AS (SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM df WHERE vec_id < {max_query}) WHERE rn <= {nprobe}),
+cand AS (SELECT DISTINCT qp.query_id, af.vec_id AS neighbor_id
+         FROM qp JOIN af USING (cid) WHERE af.vec_id != qp.query_id),
+norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nr FROM ce GROUP BY vec_id),
+pair_dots AS (SELECT cd.query_id, cd.neighbor_id, SUM(q.x * c.x) AS dot
+              FROM cand cd
+              JOIN ce q ON q.vec_id = cd.query_id
+              JOIN ce c ON c.vec_id = cd.neighbor_id AND c.j = q.j
+              GROUP BY 1, 2),
+sims AS (SELECT d.query_id, d.neighbor_id, d.dot / (nq.nr * nc.nr) AS sim
+         FROM pair_dots d
+         JOIN norms nq ON nq.vec_id = d.query_id
+         JOIN norms nc ON nc.vec_id = d.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 _SIMHASH_PAIRS_SQL = (
     "WITH s AS MATERIALIZED ("
     + _SIMHASH_SQL
@@ -711,6 +825,20 @@ def _q_pagerank3(spark, sf_dir):
     return res.state.select("vid", F.round("value", 6).alias("rank"))
 
 
+def _q_pagerank_warm_mod(spark, sf_dir):
+    """PageRank IncEval face: 2 rounds on ~4/5 of the mod graph, then 2
+    warm-started rounds on the full graph from the carried-over ranks
+    (new vertices at 1/n, renormalized); parameters must mirror
+    _pagerank_warm_sql's."""
+    e = mod_edges(spark, sf_dir)
+    base = e.filter((F.col("src") + F.col("dst") * 3) % 5 != 0)
+    prev = run_pagerank(base, tol=0.0, max_iter=2,
+                        engine_kwargs={"salt_skew": False})
+    res = run_pagerank(e, tol=0.0, max_iter=2, init_ranks=prev.state,
+                       engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.round("value", 6).alias("rank"))
+
+
 def _q_pagerank_minigraph3(spark, sf_dir):
     res = run_pagerank(mod_edges(spark, sf_dir), variant="minigraph", max_iter=3,
                        engine_kwargs={"salt_skew": False})
@@ -865,6 +993,16 @@ def _q_ann_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=4, num_tables=6
+    )
+
+
+def _q_ann_topk_ivf(spark, sf_dir):
+    """IVF cell-probed ANN (the third search path: exact / LSH / IVF);
+    parameters must mirror _ann_ivf_sql's defaults."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, num_centroids=8, iters=2, nprobe=3,
     )
 
 
@@ -1083,6 +1221,7 @@ QUERIES = {
     "triangle_count_mod": _q_triangles,
     "triangles_per_vertex_mod": _q_triangles_per_vertex,
     "pagerank3_mod": _q_pagerank3,
+    "pagerank_warm_mod": _q_pagerank_warm_mod,
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
     "wcc_components_snr": _q_wcc_snr,
@@ -1105,6 +1244,7 @@ QUERIES = {
     "lang_id": _q_lang_id,
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
+    "ann_cosine_topk_ivf": _q_ann_topk_ivf,
     "media_features": _q_media_features,
     "decode_image_real": _q_decode_image_real,
     "decode_audio_real": _q_decode_audio_real,
@@ -1171,6 +1311,7 @@ ORACLE_SQL = {
       SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY vid
     """,
     "pagerank3_mod": _pagerank3_sql(),
+    "pagerank_warm_mod": _pagerank_warm_sql(),
     "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
     "lpa2_mod": _lpa2_sql(),
     "wcc_components_snr": _WCC_SNR_SQL,
@@ -1227,6 +1368,7 @@ ORACLE_SQL = {
     """,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_cosine_topk_lsh": _ann_lsh_sql(),
+    "ann_cosine_topk_ivf": _ann_ivf_sql(),
     "frame_sample": FRAME_SAMPLE_SQL,
     "media_features": _media_features_sql(N_MEDIA, seed=7),
     "decode_image_real": _decode_image_real_sql(),

@@ -161,6 +161,41 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.8, recall
 
 
+def test_ivf_topk_all_probes_equals_exact_and_recall(spark):
+    from minigraph_spark.operators.similarity import cosine_topk_ivf, ivf_centroids
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 10
+    vecs = np.concatenate(
+        [centers[i] + rng.standard_normal((50, 16)) for i in range(4)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(200), "embedding": [v.astype(np.float32) for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    ek = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+
+    # nprobe == num_centroids degrades to exact brute force: identical frames
+    full = cosine_topk_ivf(emb, q, k=5, num_centroids=4, iters=2, nprobe=4).toPandas()
+    cols = ["query_id", "neighbor_id", "sim", "rank"]
+    pd.testing.assert_frame_equal(
+        exact[cols].sort_values(cols).reset_index(drop=True),
+        full[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+    # clustered data, 1 probe of 4 cells: queries land in their own cluster
+    one = cosine_topk_ivf(emb, q, k=5, num_centroids=4, iters=2, nprobe=1).toPandas()
+    ak = {(r.query_id, r.neighbor_id) for r in one.itertuples()}
+    assert len(ek & ak) / len(ek) >= 0.8
+
+    # quantizer is deterministic and drops nothing on this fixture
+    cents = ivf_centroids(emb, num_centroids=4, iters=2)
+    assert [c for c, _ in cents] == [0, 1, 2, 3]
+    assert cents == ivf_centroids(emb, num_centroids=4, iters=2)
+
+
 def test_real_codecs_roundtrip_and_spark_decode(spark):
     """PPM/BMP/WAV round-trip through the pure-NumPy codecs, and
     decode_image(fake=False) really decodes them through Spark: pixels out
