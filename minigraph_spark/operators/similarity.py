@@ -205,8 +205,9 @@ def ivf_centroids(
     plane literals. Empty clusters are dropped (both engines agree: a
     cluster with no members produces no AVG row).
 
-    Each Lloyd round is one map-side-combinable groupBy over (cid, dim) —
-    O(N*dim) scan with a num_centroids*dim result collected to the driver
+    Each Lloyd round is one map-side-combinable groupBy(cid) with columnar
+    per-dimension sums (no row explosion) — an O(N*dim) scan whose
+    num_centroids*dim result is collected to the driver
     (tiny, like the 1-row extra_agg scalars). At 100 TB you train on a
     sample (embeddings.sample) and raise num_centroids toward sqrt(N); the
     assignment pass below stays literal math inside whole-stage codegen.
@@ -221,19 +222,24 @@ def ivf_centroids(
             .collect()
         )
     ]
+    dim = len(cents[0][1])
     for _ in range(iters):
         assign = _ivf_assign_expr(cents, v)
-        dim = len(cents[0][1])
+        # columnar per-dimension means (one map-side-combinable groupBy, no
+        # posexplode row blowup); ROUND(sum/count, 6) == the oracle's
+        # ROUND(AVG, 6) and both engines tie-round away from zero
         new_rows = (
-            embeddings.select(assign.alias("cid"), F.posexplode(v).alias("j", "x"))
-            .groupBy("cid", "j")
-            .agg(F.round(F.avg("x"), 6).alias("w"))
+            embeddings.select(assign.alias("cid"), v.alias("_v"))
+            .groupBy("cid")
+            .agg(*[
+                F.round(F.sum(F.col("_v")[j]) / F.count(F.lit(1)), 6).alias(f"w{j}")
+                for j in range(dim)
+            ])
             .collect()
         )
-        by_cid: dict = {}
-        for r in new_rows:
-            by_cid.setdefault(r["cid"], [0.0] * dim)[r["j"]] = r["w"]
-        cents = sorted(by_cid.items())
+        cents = sorted(
+            (r["cid"], [r[f"w{j}"] for j in range(dim)]) for r in new_rows
+        )
     return cents
 
 
