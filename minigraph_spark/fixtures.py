@@ -95,14 +95,26 @@ def make_rmat_edges_np(
     duplicate edges kept.
     """
     rng = np.random.default_rng(seed)
-    u = rng.random((num_edges, power))
-    # quadrant thresholds: a | b | c | d
-    src_bit = (u >= a + b).astype(np.int64)  # quadrants c,d set the src bit
-    dst_bit = ((u >= a) & (u < a + b) | (u >= a + b + c)).astype(np.int64)  # b or d
-    weights = (1 << np.arange(power, dtype=np.int64))[::-1]
-    src = (src_bit * weights).sum(axis=1)
-    dst = (dst_bit * weights).sum(axis=1)
-    edges = np.stack([src, dst], axis=1)
+    # per-level accumulation: shift-and-add one level at a time instead of
+    # materializing (num_edges, power) float/int64 matrices — the original
+    # formulation moved ~20 GB of temporaries per 8M-edge chunk and was
+    # DRAM-bandwidth-bound when chunks generate in parallel (measured 58 s
+    # for 1M edges under 12-way generation; this form is ~10x lighter).
+    # Same quadrant distribution and per-seed determinism; the draw order
+    # differs from the pre-round-2 matrix form, so regenerating an old
+    # fixture yields a statistically identical but not bit-identical graph.
+    acc = np.int32 if power <= 31 else np.int64
+    src = np.zeros(num_edges, dtype=acc)
+    dst = np.zeros(num_edges, dtype=acc)
+    for _ in range(power):
+        u = rng.random(num_edges)
+        np.left_shift(src, 1, out=src)
+        np.left_shift(dst, 1, out=dst)
+        # quadrant thresholds: a | b | c | d — quadrants c,d set the src
+        # bit; b or d set the dst bit
+        src += u >= a + b
+        dst += ((u >= a) & (u < a + b)) | (u >= a + b + c)
+    edges = np.stack([src.astype(np.int64), dst.astype(np.int64)], axis=1)
     if drop_self_loops:
         edges = edges[edges[:, 0] != edges[:, 1]]
     return edges
