@@ -22,10 +22,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RMAT_POWER = int(os.environ.get("SPARK_GRAFT_RMAT_POWER", "23"))
-RMAT_EDGES = int(os.environ.get("SPARK_GRAFT_RMAT_EDGES", "256000000"))
+RMAT_EDGES = int(os.environ.get("SPARK_GRAFT_RMAT_EDGES", "64000000"))
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
+# Default pair = local[2] -> local[8]: the N -> 4N reading this single box
+# can answer honestly. Beyond ~8 threads all cores share one DRAM
+# controller, so a bare local[8] -> local[32] run measures the box's memory
+# bandwidth, not the plan (BASELINE.md scaling notes); on a real cluster 4N
+# executors bring 4N memory channels. Override via SPARK_GRAFT_SCALING_LEVELS.
 LEVELS = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
 )
 
 
