@@ -1051,6 +1051,92 @@ FRAME_SAMPLE_SQL = f"""
 """
 
 
+N_REAL_VIDEO = 9  # real-y4m fixture: 3 each of C444/C422/C420jpeg
+_REAL_VIDEO_SEED = 13
+
+
+def _q_decode_video_real(spark, sf_dir):
+    """REAL video decode end-to-end: Y4M container parse + chroma upsample
+    per frame, digested per video (all frames, every_n=1)."""
+    from .operators.multimodal import frame_sample, make_real_video, video_digest
+
+    vids = make_real_video(spark, N_REAL_VIDEO, seed=_REAL_VIDEO_SEED)
+    return video_digest(frame_sample(vids, every_n=1, fake=False))
+
+
+def _q_frame_sample_real(spark, sf_dir):
+    """REAL frame sampling: decode Y4M, keep every 2nd frame, digest each."""
+    from .operators.multimodal import (
+        frame_pixel_digest,
+        frame_sample,
+        make_real_video,
+    )
+
+    vids = make_real_video(spark, N_REAL_VIDEO, seed=_REAL_VIDEO_SEED)
+    return frame_pixel_digest(frame_sample(vids, every_n=2, fake=False))
+
+
+def _frame_digest_rows(n: int, seed: int, every_n: int) -> list:
+    """(media_id, frame_idx, h, w, px_sum, px_md5) tuples from the same
+    NumPy decode the Spark tasks run — no Spark involved (same precomputed-
+    VALUES pattern as _decode_image_real_sql)."""
+    import hashlib
+
+    import numpy as np
+
+    from .operators.multimodal import decode_y4m, real_video_rows
+
+    out = []
+    for mid, payload, _meta in real_video_rows(n, seed):
+        frames = decode_y4m(bytes(payload))
+        for fi in range(0, frames.shape[0], every_n):
+            px = frames[fi].ravel().astype(np.int64)
+            s = ",".join(str(int(x)) for x in px)
+            out.append(
+                (mid, fi, frames.shape[1], frames.shape[2], int(px.sum()),
+                 hashlib.md5(s.encode()).hexdigest())
+            )
+    return out
+
+
+def _frame_sample_real_sql(n: int = N_REAL_VIDEO, seed: int = _REAL_VIDEO_SEED,
+                           every_n: int = 2) -> str:
+    rows = [
+        f"({mid},{fi},{h},{w},{ps},'{md5}')"
+        for mid, fi, h, w, ps, md5 in _frame_digest_rows(n, seed, every_n)
+    ]
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+        "CAST(height AS INTEGER) AS height, CAST(width AS INTEGER) AS width, "
+        "CAST(px_sum AS BIGINT) AS px_sum, px_md5 "
+        "FROM (VALUES " + ",".join(rows)
+        + ") AS t(media_id, frame_idx, height, width, px_sum, px_md5)"
+    )
+
+
+def _decode_video_real_sql(n: int = N_REAL_VIDEO, seed: int = _REAL_VIDEO_SEED) -> str:
+    import hashlib
+    from collections import defaultdict
+
+    per_video: dict[int, list] = defaultdict(list)
+    for mid, fi, h, w, ps, md5 in _frame_digest_rows(n, seed, every_n=1):
+        per_video[mid].append((fi, h, w, ps, md5))
+    rows = []
+    for mid in sorted(per_video):
+        fr = sorted(per_video[mid])
+        vmd5 = hashlib.md5(",".join(m for *_rest, m in fr).encode()).hexdigest()
+        rows.append(
+            f"({mid},{len(fr)},{fr[0][1]},{fr[0][2]},{sum(x[3] for x in fr)},'{vmd5}')"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(n_frames AS INTEGER) AS n_frames, "
+        "CAST(height AS INTEGER) AS height, CAST(width AS INTEGER) AS width, "
+        "CAST(px_sum AS BIGINT) AS px_sum, video_md5 "
+        "FROM (VALUES " + ",".join(rows)
+        + ") AS t(media_id, n_frames, height, width, px_sum, video_md5)"
+    )
+
+
 def _q_coloring_mod(spark, sf_dir):
     from .plans.coloring import run_coloring
 
@@ -1248,7 +1334,9 @@ QUERIES = {
     "media_features": _q_media_features,
     "decode_image_real": _q_decode_image_real,
     "decode_audio_real": _q_decode_audio_real,
+    "decode_video_real": _q_decode_video_real,
     "frame_sample": _q_frame_sample,
+    "frame_sample_real": _q_frame_sample_real,
     "coloring_mod": _q_coloring_mod,
     "pagerank_mod_converged": _q_pagerank_converged,
     "wcc_seq_converged": _q_wcc_seq_converged,
@@ -1373,6 +1461,8 @@ ORACLE_SQL = {
     "media_features": _media_features_sql(N_MEDIA, seed=7),
     "decode_image_real": _decode_image_real_sql(),
     "decode_audio_real": _decode_audio_real_sql(),
+    "decode_video_real": _decode_video_real_sql(),
+    "frame_sample_real": _frame_sample_real_sql(),
     "stream_seq_edges": _stream_seq_sql(),
     # coloring: deterministic synchronous rule, converged in 46 rounds on
     # the sf0.01 mod graph — 54 unrolled rounds (fixpoint rounds are no-ops)

@@ -260,3 +260,64 @@ def test_decode_image_unsupported_format_raises(spark):
     # PySpark surfaces the worker-side NotImplementedError as the same type
     with pytest.raises(Exception, match="PIL|NotImplementedError|decoding"):
         decode_image(media, fake=False).collect()
+
+
+def test_y4m_codec_and_real_frame_sample(spark):
+    """Y4M round-trips through the pure-NumPy container codec (C444
+    lossless; subsampled variants lossless on Y and deterministic on
+    chroma), and frame_sample(fake=False) really decodes through Spark:
+    pixels out of the Arrow UDF equal the local decode."""
+    import numpy as np
+    import pytest
+
+    from minigraph_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        frame_sample,
+        make_fake_media,
+        make_real_video,
+        real_video_rows,
+        resize_image,
+        video_digest,
+    )
+
+    rng = np.random.default_rng(5)
+    fr = rng.integers(0, 256, size=(3, 9, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_y4m(encode_y4m(fr, colorspace="C444")), fr)
+    for cs in ("C422", "C420jpeg"):
+        d = decode_y4m(encode_y4m(fr, colorspace=cs))
+        assert d.shape == fr.shape
+        assert np.array_equal(d[..., 0], fr[..., 0])  # luma is exact
+
+    rows = real_video_rows(6, seed=13)
+    vids = make_real_video(spark, 6, seed=13)
+    got = {
+        (r["media_id"], r["frame_idx"]): np.array(r["pixels"], dtype=np.int64)
+        for r in frame_sample(vids, every_n=2, fake=False).collect()
+    }
+    n_checked = 0
+    for mid, payload, _meta in rows:
+        frames = decode_y4m(bytes(payload))
+        for fi in range(0, frames.shape[0], 2):
+            want = frames[fi].ravel().astype(np.int64)
+            assert np.array_equal(got[(mid, fi)], want), (mid, fi)
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+    # per-video digest collapses to one row per video
+    dig = video_digest(frame_sample(vids, every_n=1, fake=False))
+    assert dig.count() == 6
+
+    # compressed video containers stay honestly stubbed
+    fakes = make_fake_media(spark, 4, seed=3)  # includes an mp4 row
+    with pytest.raises(Exception, match="NotImplementedError|decod"):
+        frame_sample(fakes, fake=False).collect()
+
+    # resize_image(fake=False) on a MIXED real media table: wav rows are
+    # filtered, ppm/bmp rows really decode + resize
+    from minigraph_spark.operators.multimodal import make_real_media
+
+    media = make_real_media(spark, 9, seed=11)
+    rs = resize_image(media, 4, 4, fake=False).collect()
+    assert len(rs) == 6  # 3 ppm + 3 bmp; 3 wav filtered
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in rs)
