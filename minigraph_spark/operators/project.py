@@ -13,10 +13,10 @@ Edge kinds:
            the same tool, fan-out capped (Zipf tool distribution still
            yields hub vertices downstream).
 
-Scale notes: both projections shuffle ONLY on conv_id (conversations are
-small: window state is bounded by max turns/conv), so the plan is one hash
-exchange + per-group sort — no global sort, no driver collection. The tool
-self-join is within (conv_id, tool) groups, also bounded.
+Scale notes: both projections shuffle ONLY on conv_id(/tool) (conversations
+are small: window state is bounded by max turns/conv), so each plan is one
+hash exchange + per-group sort — no global sort, no join, no driver
+collection; tool fan-out is a lead(1..k) chain, O(g*k) output per group.
 """
 
 from __future__ import annotations
@@ -54,20 +54,25 @@ def seq_edges(transcripts: DataFrame) -> DataFrame:
 
 def tool_edges(transcripts: DataFrame, max_fanout: int = 16) -> DataFrame:
     """Tool-reference edges: each tool turn -> up to ``max_fanout`` later
-    turns in the same conversation using the same tool."""
+    turns in the same conversation using the same tool.
+
+    The first ``max_fanout`` successors within the sorted (conv_id, tool)
+    window ARE lead(1..max_fanout), so a lead chain + explode produces them
+    directly: O(g*k) rows per group with no join at all. (The naive
+    formulation — self-join on (conv_id, tool) then a row_number cap —
+    materializes ALL O(g^2) later pairs per group before trimming to k,
+    which a single hot group turns into the plan's bottleneck at scale;
+    the equivalence is pinned by the driver oracle, which still states the
+    join+cap form in SQL.)"""
     tools = transcripts.filter(F.col("tool").isNotNull()).select(
-        "conv_id", "tool", F.col("turn_idx").alias("src_turn"), turn_vid().alias("src")
+        "conv_id", "tool", "turn_idx", turn_vid().alias("src")
     )
-    later = transcripts.filter(F.col("tool").isNotNull()).select(
-        "conv_id", "tool", F.col("turn_idx").alias("dst_turn"), turn_vid().alias("dst")
-    )
-    joined = tools.join(later, on=["conv_id", "tool"]).filter(
-        F.col("dst_turn") > F.col("src_turn")
-    )
-    w = Window.partitionBy("conv_id", "tool", "src_turn").orderBy("dst_turn")
+    w = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    nexts = F.array(*[F.lead("src", i).over(w) for i in range(1, max_fanout + 1)])
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_fanout)
+        tools.select("conv_id", "src", nexts.alias("_next"))
+        .select("conv_id", "src", F.explode("_next").alias("dst"))
+        .filter(F.col("dst").isNotNull())
         .select("src", "dst", F.lit("tool").alias("kind"), "conv_id")
     )
 

@@ -80,27 +80,21 @@ SEQ_SQL = """
 
 def events_tool_edges(spark: SparkSession, sf_dir: str, max_fanout: int = 4) -> DataFrame:
     """Relational face of operators/project.py::tool_edges (§3.3 axis b):
-    each event links to up to max_fanout LATER events of the same
-    (user_id, event_type) — same self-join + windowed fan-out cap, with
-    events standing in for tool turns on the driver testdata."""
+    each event links to the next max_fanout LATER events of the same
+    (user_id, event_type), with events standing in for tool turns on the
+    driver testdata. lead(1..k) over the sorted group window — O(g*k)
+    output per group, one shuffle, NO self-join (the oracle SQL keeps the
+    join+cap formulation, pinning the equivalence). Order is (ts, event_id)
+    so ts ties are broken exactly as the oracle's rank does."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    a = ev.select(
-        "user_id", "event_type",
-        F.col("ts").alias("src_ts"), F.col("event_id").alias("src"),
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nexts = F.array(
+        *[F.lead("event_id", i).over(w) for i in range(1, max_fanout + 1)]
     )
-    b = ev.select(
-        "user_id", "event_type",
-        F.col("ts").alias("dst_ts"), F.col("event_id").alias("dst"),
-    )
-    joined = a.join(b, ["user_id", "event_type"]).filter(
-        (F.col("dst_ts") > F.col("src_ts"))
-        | ((F.col("dst_ts") == F.col("src_ts")) & (F.col("dst") > F.col("src")))
-    )
-    w = Window.partitionBy("user_id", "event_type", "src").orderBy("dst_ts", "dst")
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_fanout)
-        .select("src", "dst")
+        ev.select(F.col("event_id").alias("src"), nexts.alias("_next"))
+        .select("src", F.explode("_next").alias("dst"))
+        .filter(F.col("dst").isNotNull())
     )
 
 
