@@ -148,6 +148,83 @@ def tiny7_edges(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(pdf, schema="src long, dst long")
 
 
+def fixture_base_dir() -> str:
+    """Per-user scratch root for generated fixture directories.
+
+    A FIXED shared path (the old /tmp/minigraph_*) lets another tenant of a
+    shared box pre-create the name and have their content silently accepted
+    as the oracle input; keying by uid (overridable via
+    $MINIGRAPH_FIXTURE_DIR) plus the content-hash check below closes that.
+    """
+    import os
+
+    base = os.environ.get(
+        "MINIGRAPH_FIXTURE_DIR", f"/tmp/minigraph_fixtures_uid{os.getuid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+_CONTENT_MD5_NAME = "_CONTENT_MD5"  # no data-glob (*.parquet/*.csv) matches it
+
+
+def dir_content_md5(path: str) -> str:
+    """md5 over (name, bytes) of every non-sidecar file, sorted by name."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for name in sorted(os.listdir(path)):
+        if name == _CONTENT_MD5_NAME:
+            continue
+        h.update(name.encode())
+        with open(os.path.join(path, name), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def seal_dir(tmp: str) -> None:
+    """Write the content-hash sidecar into a fully-written fixture dir."""
+    import os
+
+    digest = dir_content_md5(tmp)
+    with open(os.path.join(tmp, _CONTENT_MD5_NAME), "w") as fh:
+        fh.write(digest)
+
+
+def valid_fixture_dir(path: str) -> bool:
+    """True iff the dir exists and its bytes match its sealed sidecar —
+    content validation, not a file-count heuristic (partial writes and
+    foreign content both fail)."""
+    import os
+
+    sidecar = os.path.join(path, _CONTENT_MD5_NAME)
+    if not os.path.isdir(path) or not os.path.isfile(sidecar):
+        return False
+    with open(sidecar) as fh:
+        want = fh.read().strip()
+    return dir_content_md5(path) == want
+
+
+def publish_dir(tmp: str, path: str) -> None:
+    """Atomically publish a fully-written fixture dir at `path`.
+
+    Losing a concurrent-publish race is FINE (content is deterministic), so
+    both failure shapes are handled: path already present -> discard ours;
+    os.replace raising (ENOTEMPTY: the loser's rename onto a dir that
+    appeared after our existence check) -> also discard ours."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _write_rmat_part(args) -> None:
     power, n, seed, part_path = args
     import pyarrow as pa
@@ -182,12 +259,18 @@ def ensure_rmat_parquet(
     on a 2M-edge triangle count. Reading parquet also matches the real
     deployment (the 10^9-edge graph lives in Iceberg, not on the driver).
     Deterministic: chunk k always uses seed+k*chunk regardless of workers.
+
+    The cache name carries a generator version (g2 = the round-2 per-level
+    rewrite of make_rmat_edges_np): the rewrite changed the draw order for
+    the same (power, num_edges, seed), so version-less names could serve a
+    stale pre-rewrite graph as "seed 42" — results must be reproducible from
+    parameters alone, across machines and cache states.
     """
     import os
     import shutil
     from concurrent.futures import ProcessPoolExecutor
 
-    path = f"{directory}/minigraph_rmat_p{power}_e{num_edges}_s{seed}.parquet"
+    path = f"{directory}/minigraph_rmat_p{power}_e{num_edges}_s{seed}_g2.parquet"
     if os.path.exists(path):
         return path
     # pid-suffixed temp dir: concurrent invocations each build their own
@@ -207,10 +290,7 @@ def ensure_rmat_parquet(
     else:
         with ProcessPoolExecutor(max_workers=min(workers, len(jobs))) as ex:
             list(ex.map(_write_rmat_part, jobs))
-    if os.path.exists(path):
-        shutil.rmtree(tmp, ignore_errors=True)  # another writer finished first
-    else:
-        os.replace(tmp, path)
+    publish_dir(tmp, path)
     return path
 
 

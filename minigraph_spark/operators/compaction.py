@@ -45,7 +45,12 @@ def compact_ids_window(vids: DataFrame, id_col: str = "vid") -> DataFrame:
 def compact_ids_scalable(
     vids: DataFrame, id_col: str = "vid", num_partitions: int | None = None
 ) -> DataFrame:
-    """Same output as compact_ids_window without a single-partition sort.
+    """Same output as compact_ids_window without a single-partition sort —
+    PROVIDED ids are distinct (pass distinct_vertices output, as every
+    caller here does). On duplicate ids the two differ: the window variant
+    dense_ranks (duplicates share one dense_id) while this positional path
+    gives each row its own id and emits the duplicates; dedup first if your
+    id set can repeat.
 
     Two passes over a persisted range-partitioned sort: pass 1 counts rows
     per partition (P rows to the driver — the only collect, O(partitions)

@@ -72,6 +72,56 @@ def pagerank_minigraph(
     return {int(ids[i]): float(r[i]) for i in range(n)}
 
 
+def pagerank_converged_sweeps(
+    edges: np.ndarray,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+) -> int:
+    """Number of synchronous sweeps standard PageRank performs before the
+    max|r'-r| <= tol stop fires, INCLUDING the final sweep (the engine's
+    iteration counter has the same inclusive semantics). Used to derive the
+    unroll depth of the to-convergence DuckDB oracle from the input itself —
+    no hand-measured constants (same rule as pagerank_standard above)."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    src, dst = dense[:, 0], dense[:, 1]
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    for i in range(1, max_iter + 1):
+        contrib = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        incoming = np.bincount(dst, weights=contrib[src], minlength=n)
+        dangling = r[outdeg == 0].sum()
+        r_new = (1 - alpha) / n + alpha * (incoming + dangling / n)
+        if np.max(np.abs(r_new - r)) <= tol:
+            return i
+        r = r_new
+    raise RuntimeError(f"pagerank did not converge within {max_iter} sweeps")
+
+
+def coloring_changed_rounds(edges: np.ndarray, max_iter: int = 1000) -> int:
+    """Number of synchronous rounds the greedy conflict-repair coloring
+    (plans/coloring.py rule: each conflicting canonical edge u<v bumps
+    color[u] by 1) performs before reaching zero conflicts — i.e. rounds
+    that CHANGED something. Rounds past the fixpoint are no-ops, so an
+    oracle unrolled to this count (or more) states the converged colors."""
+    dense, _ = _relabel(edges)
+    e = dense[dense[:, 0] != dense[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    canon = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    n = int(canon.max()) + 1 if len(canon) else 0
+    color = np.zeros(n, dtype=np.int64)
+    u, v = canon[:, 0], canon[:, 1]
+    for rounds in range(max_iter):
+        conflict = color[u] == color[v]
+        if not conflict.any():
+            return rounds
+        bump = np.bincount(u[conflict], minlength=n)
+        color += bump
+    raise RuntimeError(f"coloring did not converge within {max_iter} rounds")
+
+
 def wcc_labels(edges: np.ndarray) -> dict[int, int]:
     """Weakly-connected components as min-vertex-id labels over the
     undirected closure (reference semantics: wcc hash-min propagation,

@@ -34,12 +34,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def _oracle_for(name: str) -> str:
     if name == "pagerank_mod_converged":
-        # sf-dependent unroll: the converged iteration count is a measured
-        # constant of the input (see relational.PAGERANK_CONVERGED_ITERS);
+        # sf-dependent unroll: the converged sweep count is DERIVED from the
+        # input by the NumPy oracle (relational.pagerank_converged_oracle_sql);
         # this rehearsal runs at sf0.001, the driver at sf0.01
         from minigraph_spark.relational import pagerank_converged_oracle_sql
 
-        return pagerank_converged_oracle_sql("sf0.001")
+        return pagerank_converged_oracle_sql(SF_DIR)
     return ORACLE_SQL[name]
 
 
