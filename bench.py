@@ -99,6 +99,22 @@ def main() -> None:
     timed("lpa5_events", lambda: run_lpa(seq, max_iter=5).iterations)
     clear_storage(spark)
 
+    # engine amortization: WCC then LPA sharing ONE prepartitioned engine —
+    # compare against wcc_events + lpa5_events above, where each run pays
+    # its own prepartition/heavy-hitter pass
+    from minigraph_spark.operators.project import symmetrize
+    from minigraph_spark.operators.superstep import SuperstepEngine
+
+    def _shared_engine() -> int:
+        eng = SuperstepEngine(symmetrize(seq))
+        it = run_wcc(seq, engine=eng).iterations
+        it += run_lpa(seq, max_iter=5, engine=eng).iterations
+        eng.close()
+        return it
+
+    timed("wcc_plus_lpa_shared_engine", _shared_engine)
+    clear_storage(spark)
+
     # IncEval face, in the production shape: the event log is append-only,
     # so a daily delta is the LAST slice of each user's chain — not a random
     # edge sample (which would touch most components and understate the

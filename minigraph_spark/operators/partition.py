@@ -110,13 +110,19 @@ def mode_agg(
     The reference has no mode combiner (its LPA-analog uses write_min);
     SURVEY.md §2.4 derives LPA from the same skeleton.
     """
-    # count per (key, value); salt spreads hot (key) groups — counting is
-    # algebraic so two-phase is exact.
+    # count per (key, value); salt spreads hot groups' MERGE work — counting
+    # is algebraic so two-phase is exact over any salt. Unlike salted_agg's
+    # value-hash (useless here: value is part of the phase-1 group key, so
+    # hashing it can't split a hot (key, value) pair), the salt must vary
+    # WITHIN the pair; hashing the map partition id does, costs one xxhash64
+    # per row (same idiom as salted_agg:86), and caps phase-1 output at one
+    # row per partition per pair — the per-row monotonically_increasing_id
+    # salt emitted up to num_salts rows per partition per pair.
     base = df.select(key, value)
     if hot_keys:
         salt = F.when(
             F.col(key).isin(hot_keys),
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)),
+            F.pmod(F.xxhash64(F.spark_partition_id(), F.lit(17)), F.lit(num_salts)),
         ).otherwise(F.lit(0))
         p1 = (
             base.withColumn("_salt", salt)

@@ -78,6 +78,15 @@ class SuperstepEngine:
     num_partitions : hash-partition count for the edge table (defaults to
         spark.sql.shuffle.partitions).
     salt_skew : detect hub dst keys once and salt the combine for them.
+        Default False — measured OFF-faster even on deliberately-hub-skewed
+        inputs (16M-edge R-MAT PageRank: 1.8 vs 2.4 s/iter interleaved;
+        8M-edge 20%-hub LPA: 11.8 vs 18.6 s total), because the combine's
+        map-side partial aggregation already collapses a hot key to one row
+        per partition before the shuffle; the salt machinery then only adds
+        a per-row when/isin/hash, an extra merge phase, and the engine-build
+        heavy-hitter scan. Turn on only for combiners whose phase-1 partial
+        aggregation cannot collapse rows (or message streams already
+        partitioned by dst, where the agg is single-task without it).
     checkpoint_dir / checkpoint_every : durable snapshot cadence; None
         disables durable snapshots (lineage is still truncated in memory).
     lineage_cut_every : localCheckpoint cadence. Default 1 (every
@@ -105,7 +114,7 @@ class SuperstepEngine:
         self,
         edges: DataFrame,
         num_partitions: int | None = None,
-        salt_skew: bool = True,
+        salt_skew: bool = False,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         lineage_cut_every: int = 1,

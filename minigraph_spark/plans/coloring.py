@@ -22,22 +22,31 @@ from ..operators.project import symmetrize
 from ..operators.superstep import SuperstepEngine, SuperstepResult
 
 
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple closure with each edge kept once as (min, max) —
+    the edge table run_coloring's engine expects."""
+    return symmetrize(edges).filter(F.col("src") < F.col("dst"))
+
+
 def run_coloring(
     edges: DataFrame,
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    engine: SuperstepEngine | None = None,
 ) -> SuperstepResult:
-    """Returns state (vid, value=color) with no two adjacent vertices equal."""
-    und = symmetrize(edges)
-    canonical = und.filter(F.col("src") < F.col("dst"))
-    eng = SuperstepEngine(canonical, **(engine_kwargs or {}))
-    verts = (
-        und.select(F.col("src").alias("vid")).unionAll(
-            und.select(F.col("dst").alias("vid"))
-        )
-    ).distinct()
-    init = verts.select(
+    """Returns state (vid, value=color) with no two adjacent vertices equal.
+
+    Pass ``engine`` to amortize the prepartition across runs — NOTE it must
+    hold the CANONICAL (src < dst) closure, not the symmetrized one WCC/LPA
+    use (each conflicting edge must be seen once, messaging its smaller
+    endpoint); build it with SuperstepEngine(canonical_edges(edges))."""
+    eng = engine or SuperstepEngine(
+        canonical_edges(edges), checkpoint_dir=checkpoint_dir,
+        **(engine_kwargs or {})
+    )
+    # endpoints of the canonical closure = every non-isolated vertex
+    init = eng.vertices().select(
         "vid", F.lit(0).cast("long").alias("value"), F.lit(True).alias("active")
     )
 
@@ -69,7 +78,8 @@ def run_coloring(
         max_iter=max_iter,
         algo="coloring",
     )
-    eng.close()
+    if engine is None:
+        eng.close()  # free owned edge blocks; caller-passed engines live on
     return res
 
 

@@ -25,15 +25,22 @@ def run_lpa(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    engine: SuperstepEngine | None = None,
 ) -> SuperstepResult:
     """Synchronous LPA on the undirected simple closure.
 
     Returns state (vid, value=label). Note LPA may oscillate on bipartite
     structures under synchronous updates; max_iter bounds that, matching the
     oracle's fixed-sweep semantics.
+
+    Pass ``engine`` (built over the SYMMETRIZED graph — the same closure
+    run_wcc uses, so a WCC engine is directly reusable) to amortize the
+    one-time prepartition/heavy-hitter cost across algorithms on the same
+    graph; same contract as run_pagerank/run_wcc.
     """
-    und = symmetrize(edges)
-    eng = SuperstepEngine(und, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {}))
+    eng = engine or SuperstepEngine(
+        symmetrize(edges), checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+    )
     init = eng.vertices().select(
         "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
     )
@@ -56,5 +63,6 @@ def run_lpa(
         init, scatter=scatter, combiner="mode", apply_fn=apply_fn,
         frontier=False, max_iter=max_iter, algo="lpa",
     )
-    eng.close()  # free the engine's edge blocks; the result state is independent
+    if engine is None:
+        eng.close()  # free owned edge blocks; caller-passed engines live on
     return res

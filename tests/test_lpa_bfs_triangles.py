@@ -182,3 +182,35 @@ def test_triangle_count_incremental_all_new(spark):
         _spark_edges(spark, base), _spark_edges(spark, k4), prev_count=0
     ).collect()[0][0]
     assert got == 4
+
+
+def test_engine_reuse_wcc_then_lpa_and_coloring(spark):
+    """One prepartitioned engine serves WCC then LPA (both run on the
+    symmetrized closure), and coloring reuses its own canonical-closure
+    engine — results identical to standalone runs (run_pagerank's engine
+    contract, now API-symmetric across all plans)."""
+    from minigraph_spark.operators.project import symmetrize
+    from minigraph_spark.operators.superstep import SuperstepEngine
+    from minigraph_spark.plans.coloring import (
+        canonical_edges,
+        coloring_conflicts,
+        run_coloring,
+    )
+    from minigraph_spark.plans.wcc import run_wcc
+
+    arr = make_rmat_edges_np(power=7, num_edges=400, seed=23)
+    edges = _spark_edges(spark, arr)
+
+    eng = SuperstepEngine(symmetrize(edges), salt_skew=False)
+    wcc_shared = run_wcc(edges, engine=eng)
+    lpa_shared = run_lpa(edges, max_iter=5, engine=eng)
+    eng.close()
+    assert labels_dict(wcc_shared.state) == oracle.wcc_labels(arr)
+    assert labels_dict(lpa_shared.state) == oracle.lpa_labels(arr, max_iter=5)
+
+    ceng = SuperstepEngine(canonical_edges(edges), salt_skew=False)
+    c1 = run_coloring(edges, engine=ceng)
+    c2 = run_coloring(edges, engine=ceng)
+    assert labels_dict(c1.state) == labels_dict(c2.state)
+    assert coloring_conflicts(edges, c1.state) == 0
+    ceng.close()
