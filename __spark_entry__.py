@@ -2,9 +2,9 @@
 
 entry() is the flagship smoke query; queries()/oracle_sql() expose every
 implemented operator's relational face over the driver testdata, each with
-an exact DuckDB oracle where ANSI-SQL-expressible (see
-minigraph_spark/relational.py; to-convergence iterative queries are
-rows-only by design and covered by the NumPy-oracle pytest suite).
+an exact DuckDB oracle (see minigraph_spark/relational.py — ROWS_ONLY is
+empty: to-convergence loops are oracle-checked via recursive CTEs or
+derived-count unrolling, with NumPy-oracle pytest coverage on top).
 """
 
 from __future__ import annotations

@@ -1,0 +1,187 @@
+"""One entry point for all at-scale evidence runs (BASELINE.md tables).
+
+Folds the former pr_converged / wcc_at_scale / lpa_at_scale / scale_tri /
+wedge_volume scripts behind one CLI so any round's driver can re-run the
+scale evidence with one command per row:
+
+    python scripts/run_at_scale.py --algo pr        --power 27 --edges 1000000000
+    python scripts/run_at_scale.py --algo pr_fixed  --power 25 --edges 256000000
+    python scripts/run_at_scale.py --algo wcc       --power 27 --edges 1000000000
+    python scripts/run_at_scale.py --algo lpa       --power 27 --edges 1000000000
+    python scripts/run_at_scale.py --algo tri       --power 25 --edges 256000000 --buckets 4
+    python scripts/run_at_scale.py --algo wedges    --power 25 --edges 256000000
+
+Every run: ensures the seeded R-MAT fixture (generated if absent, ~100 s
+per 10^9 edges), prints loadavg at each phase boundary (shared-sandbox
+variance protocol: BASELINE.md quotes medians and logs load), and reports
+per-iteration walls + median throughput. `wedges` needs no Spark (DuckDB
+analysis of the intersection join's spill volume — run it BEFORE a big
+`tri` to size --buckets against free disk: peak spill ≈ 4B * sum_sq / buckets).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from minigraph_spark.fixtures import ensure_rmat_parquet  # noqa: E402
+
+
+def _load() -> str:
+    return "load %.1f/%.1f/%.1f" % os.getloadavg()
+
+
+def _spark(name: str, shuffle: int, zstd: bool = False):
+    from minigraph_spark.session import get_spark
+
+    extra = {"spark.io.compression.codec": "zstd"} if zstd else None
+    return get_spark(name, master="local[32]", shuffle_partitions=shuffle,
+                     extra_conf=extra)
+
+
+def _iter_report(n_edges: int, metrics, wall: float, label: str) -> None:
+    iters = [round(m.elapsed_sec, 1) for m in metrics]
+    med = sorted(iters)[len(iters) // 2] if iters else float("nan")
+    print(
+        f"{label}: {len(iters)} iters, {wall:.0f}s wall; per-iter {iters}; "
+        f"median {med:.1f}s = {n_edges / med / 1e6:.2f}M e/s/iter; {_load()}",
+        flush=True,
+    )
+
+
+def run_pr(args, converged: bool) -> None:
+    from minigraph_spark.operators.superstep import SuperstepEngine
+    from minigraph_spark.plans.pagerank import run_pagerank
+
+    spark = _spark(f"pr_p{args.power}", args.shuffle)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; {_load()}", flush=True)
+    t0 = time.time()
+    eng = SuperstepEngine(rmat.select("src", "dst"))
+    run_pagerank(rmat, tol=0.0, max_iter=1, engine=eng)  # prepartition + JIT warm
+    print(f"setup+warm-iter: {time.time() - t0:.0f}s; {_load()}", flush=True)
+    t0 = time.time()
+    if converged:
+        r = run_pagerank(rmat, tol=1e-6, max_iter=200, engine=eng)
+        print(f"converged={r.converged} in {r.iterations} sweeps", flush=True)
+    else:
+        r = run_pagerank(rmat, tol=0.0, max_iter=args.max_iter, engine=eng)
+    _iter_report(n, r.metrics, time.time() - t0, "pagerank")
+    eng.close()
+    spark.stop()
+
+
+def run_wcc_scale(args) -> None:
+    from minigraph_spark.plans.wcc import run_wcc
+
+    spark = _spark(f"wcc_p{args.power}", args.shuffle)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; {_load()}", flush=True)
+    t0 = time.time()
+    r = run_wcc(rmat)
+    _iter_report(2 * n, r.metrics, time.time() - t0, "wcc (2E symmetrized)")
+    t0 = time.time()
+    ncomp = r.state.select("value").distinct().count()
+    print(f"components: {ncomp} (count {time.time() - t0:.0f}s)", flush=True)
+    spark.stop()
+
+
+def run_lpa_scale(args) -> None:
+    from minigraph_spark.plans.lpa import run_lpa
+
+    spark = _spark(f"lpa_p{args.power}", args.shuffle)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; {_load()}", flush=True)
+    t0 = time.time()
+    r = run_lpa(rmat, max_iter=args.max_iter)
+    _iter_report(n, r.metrics, time.time() - t0, f"lpa {args.max_iter} iters")
+    spark.stop()
+
+
+def run_tri(args) -> None:
+    from minigraph_spark.plans.triangles import triangle_count
+
+    # int32 ids (p<=30 fits; halves array bytes) + zstd spill compression +
+    # src-bucket chunking: the three knobs that bound the intersection
+    # join's disk footprint (BASELINE.md footprint history)
+    spark = _spark(f"tri_p{args.power}", args.shuffle or 256, zstd=True)
+    rmat = spark.read.parquet(args.path).selectExpr(
+        "cast(src as int) as src", "cast(dst as int) as dst"
+    )
+    n = rmat.count()
+    print(f"edges {n}; buckets {args.buckets}; {_load()}", flush=True)
+    t0 = time.time()
+    tc = triangle_count(rmat, src_buckets=args.buckets).collect()
+    print(
+        f"triangles: {tc[0]['num_triangles']} in {time.time() - t0:.0f}s; {_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
+def run_wedges(args) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads=8")
+    row = con.execute(
+        f"""
+WITH canon AS (
+  SELECT least(src, dst) AS s, greatest(src, dst) AS d
+  FROM read_parquet('{args.path}/*.parquet') WHERE src <> dst GROUP BY 1, 2
+), deg AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT s AS v FROM canon UNION ALL SELECT d FROM canon) GROUP BY 1
+), oriented AS (
+  -- rank = (degree, vid); canon has s < d so ties keep s as the out-vertex
+  SELECT CASE WHEN dd.deg < ds.deg THEN c.d ELSE c.s END AS u
+  FROM canon c JOIN deg ds ON c.s = ds.v JOIN deg dd ON c.d = dd.v
+), od AS (SELECT u, count(*) AS k FROM oriented GROUP BY 1)
+SELECT count(*) AS out_verts, sum(k) AS edges, max(k) AS max_out,
+       sum(k * k) AS sum_sq, sum(k * (k - 1) / 2) AS wedges
+FROM od
+"""
+    ).fetchone()
+    print(
+        dict(zip(["out_verts", "edges", "max_out", "sum_sq", "wedges"], row)),
+        flush=True,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--algo", required=True,
+                    choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "wedges"])
+    ap.add_argument("--power", type=int, default=25)
+    ap.add_argument("--edges", type=int, default=256_000_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--shuffle", type=int, default=128)
+    ap.add_argument("--max-iter", type=int, default=5,
+                    help="fixed-iteration count for pr_fixed/lpa")
+    ap.add_argument("--buckets", type=int, default=1,
+                    help="tri: src-hash chunks bounding peak spill to ~1/B")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    args.path = ensure_rmat_parquet(args.power, args.edges, seed=args.seed)
+    print(f"gen/ensure: {time.time() - t0:.0f}s -> {args.path}; {_load()}",
+          flush=True)
+    {
+        "pr": lambda a: run_pr(a, converged=True),
+        "pr_fixed": lambda a: run_pr(a, converged=False),
+        "wcc": run_wcc_scale,
+        "lpa": run_lpa_scale,
+        "tri": run_tri,
+        "wedges": run_wedges,
+    }[args.algo](args)
+
+
+if __name__ == "__main__":
+    main()

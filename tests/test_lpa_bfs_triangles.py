@@ -214,3 +214,14 @@ def test_engine_reuse_wcc_then_lpa_and_coloring(spark):
     assert labels_dict(c1.state) == labels_dict(c2.state)
     assert coloring_conflicts(edges, c1.state) == 0
     ceng.close()
+
+
+def test_triangle_count_bucketed_equals_unbucketed(spark):
+    """src_buckets chunking is exact: every oriented edge lands in exactly
+    one hash bucket, so partial sums equal the one-pass count."""
+    arr = make_rmat_edges_np(power=9, num_edges=4000, seed=31)
+    edges = _spark_edges(spark, arr)
+    want = oracle.triangle_count(arr)
+    one = triangle_count(edges).collect()[0]["num_triangles"]
+    buck = triangle_count(edges, src_buckets=4).collect()[0]["num_triangles"]
+    assert one == buck == want
