@@ -271,6 +271,95 @@ def run_wcc_incremental(
     return res
 
 
+def run_wcc_decremental(
+    edges: DataFrame,
+    deleted_edges: DataFrame,
+    prev_labels: DataFrame,
+    max_iter: int = 200,
+    pointer_jump: bool = True,
+    hooking: bool = True,
+    checkpoint_dir: str | None = None,
+    engine_kwargs: dict | None = None,
+) -> SuperstepResult:
+    """IncEval for WCC under edge DELETIONS — the non-monotone direction the
+    reference's IncEval cannot do (run_wcc_incremental's docstring; the
+    reference shares the additions-only restriction at auto_app_base.h:39-63).
+    Undirected semantics only: an edge {a, b} is removed whichever
+    orientation either table stores.
+
+    Deletions can SPLIT components, which a converged min-label state cannot
+    observe — but only components that actually lost an edge can change, and
+    components never span labels. So: (1) find the labels touched by
+    actually-removed edges (deletions of absent edges are ignored), (2)
+    batch-recompute WCC on the remaining edges INSIDE those components only,
+    and (3) keep every untouched component's state verbatim. Labels are
+    min-vid per component, determined independently per component, so the
+    stitched result is EXACTLY run_wcc(edges minus deletions).state — batch
+    semantics throughout, including vertex existence: a vertex that lost its
+    last edge leaves the graph (WCC's vertex set is defined by edges), so it
+    simply has no row. The driver oracle pins the equivalence with a
+    recursive CTE over the filtered edges.
+
+    Cost ∝ the affected components' edge volume, not |E| — the decremental
+    analog of the IncEval win (a daily unlink-delta on a 10^12-edge link
+    graph touches a vanishing fraction of components; everything else is a
+    V-row anti-join and no scatter work at all).
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    base = canon(edges).persist()
+    dele = canon(deleted_edges)
+    removed = dele.join(base, ["src", "dst"], "left_semi")
+    remaining = base.join(dele, ["src", "dst"], "left_anti")
+    lab = prev_labels.select("vid", F.col("value").alias("label"))
+    affected_labels = (
+        removed.select(F.col("src").alias("vid"))
+        .unionAll(removed.select(F.col("dst").alias("vid")))
+        .join(lab, "vid")
+        .select("label")
+        .distinct()
+        .persist()
+    )
+    # remaining edges inside affected components: src's label decides (both
+    # endpoints of any remaining edge share the old label by definition)
+    sub = (
+        remaining.join(
+            lab.select(F.col("vid").alias("src"), "label"), "src"
+        )
+        .join(affected_labels, "label", "left_semi")
+        .select("src", "dst")
+    )
+    res = run_wcc(
+        sub, max_iter=max_iter, pointer_jump=pointer_jump, hooking=hooking,
+        checkpoint_dir=checkpoint_dir, engine_kwargs=engine_kwargs,
+    )
+    recomputed = res.state.select("vid", "value")
+    unaffected = (
+        prev_labels.select("vid", "value")
+        .join(
+            affected_labels.withColumnRenamed("label", "value"), "value", "left_anti"
+        )
+        .select("vid", "value")
+    )
+    # materialize the stitched state (run_wcc's result state is likewise
+    # persisted) BEFORE freeing the helper caches its plan references
+    state = unaffected.unionAll(recomputed).persist()
+    state.count()
+    base.unpersist()
+    affected_labels.unpersist()
+    return SuperstepResult(
+        state=state, metrics=res.metrics, iterations=res.iterations,
+        converged=res.converged,
+    )
+
+
 def component_sizes(labels: DataFrame) -> DataFrame:
     """(label, size) — the usual reporting face of WCC."""
     return labels.groupBy(F.col("value").alias("label")).agg(

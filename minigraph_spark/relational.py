@@ -1204,6 +1204,42 @@ def _q_wcc_incremental_snr(spark, sf_dir):
     return component_sizes(res.state)
 
 
+def _q_wcc_decremental_snr(spark, sf_dir):
+    """Deletion-capable IncEval (BEYOND reference parity — its IncEval is
+    additions-only monotone): converge on the full supplier->nation->region
+    graph, then DELETE five nations' region links ((nationkey % 5) == 2).
+    Those nation subtrees split into their own components while untouched
+    regions keep their state verbatim; exact vs the batch recursive-CTE
+    oracle over the remaining edges."""
+    from .plans.wcc import run_wcc_decremental
+
+    full = snr_edges(spark, sf_dir)
+    deleted = full.filter(
+        (F.col("src") >= 100) & (F.col("src") < 125) & (F.col("dst") < 5)
+        & ((F.col("src") - 100) % 5 == 2)
+    )
+    prev = run_wcc(full, engine_kwargs={"salt_skew": False})
+    res = run_wcc_decremental(full, deleted, prev.state,
+                              engine_kwargs={"salt_skew": False})
+    return component_sizes(res.state)
+
+
+_WCC_DEC_SNR_SQL = f"""
+WITH RECURSIVE
+e0 AS (SELECT src, dst FROM ({SNR_SQL}) t
+       WHERE NOT (src >= 100 AND src < 125 AND dst < 5 AND (src - 100) % 5 = 2)),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, r.m FROM reach r JOIN und u ON u.src = r.v
+),
+labels AS (SELECT v, MIN(m) AS label FROM reach GROUP BY v)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM labels GROUP BY label
+"""
+
+
 _EDGE_CSV_FIXTURE_FILES = 3
 _EDGE_CSV_FIXTURE_ROWS = 400  # per file, before self-loop drop
 
@@ -1369,6 +1405,7 @@ QUERIES = {
     "pagerank_mod_converged": _q_pagerank_converged,
     "wcc_seq_converged": _q_wcc_seq_converged,
     "wcc_incremental_snr": _q_wcc_incremental_snr,
+    "wcc_decremental_snr": _q_wcc_decremental_snr,
     "bfs_incremental_mod": _q_bfs_incremental_mod,
     "sssp_incremental_mod": _q_sssp_incremental_mod,
     "triangle_count_incremental_mod": _q_triangles_incremental_mod,
@@ -1551,6 +1588,7 @@ _ORACLE_SQL_STATIC = {
     "wcc_seq_converged": _WCC_SEQ_SQL,
     # IncEval == PEval on the full graph for monotone kernels — batch oracles
     "wcc_incremental_snr": _WCC_SNR_SQL,
+    "wcc_decremental_snr": _WCC_DEC_SNR_SQL,
     "bfs_incremental_mod": _BFS_MOD_SQL,
     "sssp_incremental_mod": _SSSP_W_MOD_SQL,
     "triangle_count_incremental_mod": _TRI_MOD_SQL,

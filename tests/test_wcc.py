@@ -111,3 +111,41 @@ def test_wcc_engine_reuse(spark):
     r2 = run_wcc(_spark_edges(spark, arr), engine=eng)
     assert labels_dict(r1.state) == labels_dict(r2.state) == oracle.wcc_labels(arr)
     eng.close()
+
+
+def test_wcc_decremental_equals_batch_on_remaining(spark):
+    """Deletion IncEval == batch WCC on (edges \\ deleted), including min-vid
+    labels, untouched-component passthrough, and batch vertex-existence
+    semantics (a vertex losing its last edge has no row)."""
+    from minigraph_spark.plans.wcc import run_wcc_decremental
+
+    arr = make_rmat_edges_np(power=7, num_edges=300, seed=29)
+    edges = _spark_edges(spark, arr)
+    # delete a deterministic ~1/4 slice, including some absent edges (the
+    # reversed orientation rows exercise undirected removal)
+    import pandas as pd
+
+    mask = (arr[:, 0] * 3 + arr[:, 1]) % 4 == 0
+    dele_arr = arr[mask]
+    dele = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": list(dele_arr[:, 1]) + [9999], "dst": list(dele_arr[:, 0]) + [9998]}
+        ),
+        schema="src long, dst long",
+    )
+    prev = run_wcc(edges, engine_kwargs={"salt_skew": False})
+    res = run_wcc_decremental(edges, dele, prev.state,
+                              engine_kwargs={"salt_skew": False})
+
+    # NumPy ground truth on the remaining undirected edge set
+    import numpy as np
+
+    lo = np.minimum(arr[:, 0], arr[:, 1])
+    hi = np.maximum(arr[:, 0], arr[:, 1])
+    canon = {(int(a), int(b)) for a, b in zip(lo, hi) if a != b}
+    dlo = np.minimum(dele_arr[:, 0], dele_arr[:, 1])
+    dhi = np.maximum(dele_arr[:, 0], dele_arr[:, 1])
+    removed = {(int(a), int(b)) for a, b in zip(dlo, dhi)}
+    remaining = np.array(sorted(canon - removed))
+    want = oracle.wcc_labels(remaining)
+    assert labels_dict(res.state) == want
