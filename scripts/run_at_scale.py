@@ -111,7 +111,7 @@ def run_tri(args) -> None:
     # int32 ids (p<=30 fits; halves array bytes) + zstd spill compression +
     # src-bucket chunking: the three knobs that bound the intersection
     # join's disk footprint (BASELINE.md footprint history)
-    spark = _spark(f"tri_p{args.power}", args.shuffle or 256, zstd=True)
+    spark = _spark(f"tri_p{args.power}", args.shuffle, zstd=True)
     rmat = spark.read.parquet(args.path).selectExpr(
         "cast(src as int) as src", "cast(dst as int) as dst"
     )
