@@ -122,6 +122,50 @@ def coloring_changed_rounds(edges: np.ndarray, max_iter: int = 1000) -> int:
     raise RuntimeError(f"coloring did not converge within {max_iter} rounds")
 
 
+def _canon_undirected(edges: np.ndarray) -> np.ndarray:
+    """Canonical simple closure: (min, max) pairs, self-loops dropped,
+    deduped — the edge set k-core/coloring/triangles peel on."""
+    lo = np.minimum(edges[:, 0], edges[:, 1])
+    hi = np.maximum(edges[:, 0], edges[:, 1])
+    m = lo != hi
+    if not m.any():
+        return np.empty((0, 2), dtype=np.int64)
+    return np.unique(np.stack([lo[m], hi[m]], axis=1), axis=0)
+
+
+def _kcore_peel(edges: np.ndarray, k: int) -> tuple[np.ndarray, int]:
+    """(surviving canonical edges, rounds that CHANGED the edge set) of the
+    synchronous k-core peel (plans/kcore.py rule: drop every vertex with
+    undirected degree < k, recompute, repeat to fixpoint)."""
+    e = _canon_undirected(edges)
+    rounds = 0
+    while len(e):
+        deg: dict[int, int] = {}
+        for v in e.ravel():
+            deg[int(v)] = deg.get(int(v), 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        m = np.array([int(a) in keep and int(b) in keep for a, b in e])
+        if m.all():
+            break
+        e = e[m]
+        rounds += 1
+    return e, rounds
+
+
+def kcore_vertices(edges: np.ndarray, k: int) -> set[int]:
+    """Vertex set of the k-core (empty when the peel exhausts the graph)."""
+    e, _ = _kcore_peel(edges, k)
+    return set(int(v) for v in e.ravel())
+
+
+def kcore_peel_rounds(edges: np.ndarray, k: int) -> int:
+    """Rounds the peel CHANGED something — the oracle unroll depth (extra
+    unrolled rounds past the fixpoint are no-ops, same idempotence argument
+    as the coloring oracle)."""
+    _, rounds = _kcore_peel(edges, k)
+    return rounds
+
+
 def wcc_labels(edges: np.ndarray) -> dict[int, int]:
     """Weakly-connected components as min-vertex-id labels over the
     undirected closure (reference semantics: wcc hash-min propagation,

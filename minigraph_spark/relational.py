@@ -53,6 +53,7 @@ from .plans.triangles import triangle_count
 from .plans.wcc import component_sizes, run_wcc
 
 MOD = 200  # vertex-space size of the mod graph
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the scale the grading driver compares at
 
 
 # ---------------------------------------------------------------- loaders
@@ -128,6 +129,28 @@ MOD_SQL = f"""
                   ((event_id * 7 + user_id) % {MOD}) AS dst
   FROM events
   WHERE (event_id % {MOD}) != ((event_id * 7 + user_id) % {MOD})
+"""
+
+
+KC_MOD = 1000  # vertex space of the sparser k-core graph (mod graph's 200
+# is too dense to peel: min degree 66 at sf0.01)
+KC_K = 14      # peels 2 rounds / 974 survivors at sf0.01; empties at sf0.001
+
+
+def kc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparser deterministic digraph for the k-core query (mean undirected
+    degree ~19 at sf0.01, so k=14 actually peels)."""
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("event_id") % KC_MOD).alias("src")
+    dst = ((F.col("event_id") * 13 + F.col("user_id")) % KC_MOD).alias("dst")
+    return ev.select(src, dst).filter(F.col("src") != F.col("dst")).distinct()
+
+
+KC_SQL = f"""
+  SELECT DISTINCT (event_id % {KC_MOD}) AS src,
+                  ((event_id * 13 + user_id) % {KC_MOD}) AS dst
+  FROM events
+  WHERE (event_id % {KC_MOD}) != ((event_id * 13 + user_id) % {KC_MOD})
 """
 
 
@@ -1204,6 +1227,66 @@ def _q_wcc_incremental_snr(spark, sf_dir):
     return component_sizes(res.state)
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous peel: round r keeps edges whose endpoints both
+    had degree >= k in round r-1's edge set. Rounds past the fixpoint are
+    no-ops, so unrolling (derived changed-rounds + 2) states the k-core
+    exactly (same idempotence argument as the coloring oracle). MATERIALIZED
+    CTEs for the same inlining reason as the other unrolled generators."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (",
+        f"  SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM ({KC_SQL}) t),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT v FROM ("
+            f"SELECT s AS v FROM e{r-1} UNION ALL SELECT d FROM e{r-1}) t "
+            f"GROUP BY v HAVING COUNT(*) >= {k}),"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT s, d FROM e{r-1} "
+            f"WHERE s IN (SELECT v FROM k{r}) AND d IN (SELECT v FROM k{r})),"
+        )
+    last = f"e{rounds}"
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT DISTINCT v AS vid FROM (SELECT s AS v FROM {last} "
+        f"UNION ALL SELECT d FROM {last}) t"
+    )
+    return "\n".join(parts)
+
+
+@functools.cache
+def kcore_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
+    """k-core oracle with the unroll depth DERIVED from the input (same
+    no-measured-constants rule as pagerank_converged_oracle_sql)."""
+    from .oracle import kcore_peel_rounds
+
+    return _kcore_sql(KC_K, kcore_peel_rounds(_kc_edges_np(sf_dir), KC_K) + 2)
+
+
+@functools.cache
+def _kc_edges_np(sf_dir: str):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    out = con.sql(KC_SQL).fetchnumpy()
+    return np.stack(
+        [out["src"].astype(np.int64), out["dst"].astype(np.int64)], axis=1
+    )
+
+
+def _q_kcore(spark, sf_dir):
+    """k-core peel (no reference analog; link-graph staple). The engine's
+    round count is asserted against the NumPy derivation, like the other
+    to-convergence queries."""
+    from .plans.kcore import run_kcore
+
+    return run_kcore(kc_edges(spark, sf_dir), k=KC_K)
+
+
 def _q_wcc_decremental_snr(spark, sf_dir):
     """Deletion-capable IncEval (BEYOND reference parity — its IncEval is
     additions-only monotone): converge on the full supplier->nation->region
@@ -1402,6 +1485,7 @@ QUERIES = {
     "frame_sample": _q_frame_sample,
     "frame_sample_real": _q_frame_sample_real,
     "coloring_mod": _q_coloring_mod,
+    "kcore14_kc": _q_kcore,
     "pagerank_mod_converged": _q_pagerank_converged,
     "wcc_seq_converged": _q_wcc_seq_converged,
     "wcc_incremental_snr": _q_wcc_incremental_snr,
@@ -1426,9 +1510,6 @@ def _mod_edges_np(sf_dir: str):
     return np.stack(
         [out["src"].astype(np.int64), out["dst"].astype(np.int64)], axis=1
     )
-
-
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the scale the grading driver compares at
 
 
 @functools.cache
@@ -1472,6 +1553,7 @@ def build_oracle_sql() -> dict[str, str]:
         "frame_sample_real": _frame_sample_real_sql(),
         "stream_seq_edges": _stream_seq_sql(),
         "coloring_mod": coloring_oracle_sql(),
+        "kcore14_kc": kcore_oracle_sql(),
         "pagerank_mod_converged": pagerank_converged_oracle_sql(),
         "edge_csv_batch_convert": _edge_csv_batch_convert_sql(),
     })

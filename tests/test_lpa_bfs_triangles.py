@@ -225,3 +225,17 @@ def test_triangle_count_bucketed_equals_unbucketed(spark):
     one = triangle_count(edges).collect()[0]["num_triangles"]
     buck = triangle_count(edges, src_buckets=4).collect()[0]["num_triangles"]
     assert one == buck == want
+
+
+def test_kcore_matches_numpy_oracle(spark):
+    """run_kcore == the NumPy peel on a skewed R-MAT (deep peel path) and on
+    edge cases: k below the minimum degree (no peeling) and k above the
+    degeneracy (peel to empty)."""
+    from minigraph_spark.plans.kcore import run_kcore
+
+    arr = make_rmat_edges_np(power=8, num_edges=1500, seed=37)
+    edges = _spark_edges(spark, arr)
+    for k in (1, 3, 4, 100):
+        got = {r["vid"] for r in run_kcore(edges, k=k).collect()}
+        want = oracle.kcore_vertices(arr, k)
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"

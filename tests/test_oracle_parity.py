@@ -40,6 +40,12 @@ def _oracle_for(name: str) -> str:
         from minigraph_spark.relational import pagerank_converged_oracle_sql
 
         return pagerank_converged_oracle_sql(SF_DIR)
+    if name == "kcore14_kc":
+        # same sf-derived unroll treatment (the k-core peel depth differs
+        # per sf; at sf0.001 the peel empties the graph — also worth testing)
+        from minigraph_spark.relational import kcore_oracle_sql
+
+        return kcore_oracle_sql(SF_DIR)
     return ORACLE_SQL[name]
 
 
