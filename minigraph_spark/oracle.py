@@ -44,6 +44,34 @@ def pagerank_standard(
     return {int(ids[i]): float(r[i]) for i in range(n)}
 
 
+def pagerank_personalized(
+    edges: np.ndarray,
+    seeds: list[int],
+    alpha: float = 0.85,
+    iters: int = 3,
+) -> dict[int, float]:
+    """Personalized PageRank (random walk with restart): teleport and
+    dangling mass flow uniformly to `seeds`; r0 = the seed distribution.
+    Fixed synchronous sweeps — mirrors plans/pagerank.py's personalize
+    branch term-for-term."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    src, dst = dense[:, 0], dense[:, 1]
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    p = np.zeros(n)
+    seed_set = set(seeds)
+    for i in range(n):
+        if int(ids[i]) in seed_set:
+            p[i] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        contrib = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        incoming = np.bincount(dst, weights=contrib[src], minlength=n)
+        dangling = r[outdeg == 0].sum()
+        r = (1 - alpha) * p + alpha * (incoming + dangling * p)
+    return {int(ids[i]): float(r[i]) for i in range(n)}
+
+
 def pagerank_minigraph(
     edges: np.ndarray,
     gamma: float = 0.01,

@@ -39,8 +39,15 @@ def run_pagerank(
     engine_kwargs: dict | None = None,
     engine: SuperstepEngine | None = None,
     init_ranks: DataFrame | None = None,
+    personalize: list[int] | None = None,
 ) -> SuperstepResult:
     """Returns state (vid, value=rank). standard ranks sum to 1.
+
+    Pass ``personalize`` (a small seed-vertex list, embedded as a literal
+    IN-list — the random-walk-with-restart face used for link-graph
+    relevance around known-good pages): teleport and dangling mass then
+    flow to the seeds uniformly instead of to all vertices, and the walk
+    starts at the seeds. Standard variant only.
 
     Pass ``engine`` to reuse an already-partitioned SuperstepEngine across
     runs — the one-time prepartition/heavy-hitter cost (the analog of the
@@ -59,11 +66,30 @@ def run_pagerank(
     )
     verts = eng.vertices()
 
+    if personalize is not None and (
+        variant != "standard"
+        or not personalize
+        or len(set(personalize)) != len(personalize)
+    ):
+        raise ValueError(
+            "personalize requires the standard variant and a non-empty, "
+            "duplicate-free seed list (p normalizes by len(seeds))"
+        )
+
     if variant == "standard":
         outdeg = eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         # clamp: an empty edge table has zero vertices; the loop then
         # converges immediately on the empty state instead of dividing by 0
         n = max(verts.count(), 1)
+        # teleport distribution: uniform 1/n, or concentrated on the seeds.
+        # p is an expression over vid (literal IN-list), re-evaluated inside
+        # apply each sweep — WSCG-side, no extra join or state column.
+        if personalize is not None:
+            p_of = lambda vid_col: F.when(  # noqa: E731
+                vid_col.isin(personalize), F.lit(1.0 / len(personalize))
+            ).otherwise(F.lit(0.0))
+        else:
+            p_of = lambda vid_col: F.lit(1.0 / n)  # noqa: E731
         if init_ranks is not None:
             seeded = verts.join(
                 init_ranks.select("vid", F.col("value").alias("_prev")), "vid", "left"
@@ -75,7 +101,7 @@ def run_pagerank(
             start_val = F.col("_r") / F.col("_t")
             seeded = seeded.crossJoin(F.broadcast(total))
         else:
-            seeded = verts.select("vid", F.lit(1.0 / n).alias("_r"))
+            seeded = verts.select("vid", p_of(F.col("vid")).alias("_r"))
             start_val = F.col("_r")
         init = (
             seeded.join(outdeg.withColumnRenamed("src", "vid"), "vid", "left")
@@ -105,11 +131,22 @@ def run_pagerank(
                 F.sum("value").alias("_dangling")
             )
             dangling = F.coalesce(F.col("_dangling"), F.lit(0.0))
-            new_val = (
-                F.lit((1 - alpha) / n)
-                + F.lit(alpha)
-                * (F.coalesce(F.col("agg"), F.lit(0.0)) + dangling / n)
-            )
+            if personalize is not None:
+                p = p_of(F.col("vid"))
+                new_val = (
+                    F.lit(1 - alpha) * p
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("agg"), F.lit(0.0)) + dangling * p)
+                )
+            else:
+                # keep the uniform-teleport arithmetic EXACTLY as before
+                # ((1-alpha)/n folded driver-side): the 6-dp oracles are
+                # bit-sensitive to re-associating these float ops
+                new_val = (
+                    F.lit((1 - alpha) / n)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("agg"), F.lit(0.0)) + dangling / n)
+                )
             return (
                 state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
                 .crossJoin(F.broadcast(total))

@@ -198,6 +198,39 @@ r{k} AS MATERIALIZED (SELECT v.v,
     return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
 
 
+PPR_SEEDS = [0, 7, 101]  # all present in the mod graph at every driver sf
+
+
+def _ppr3_sql(seeds: list[int] = PPR_SEEDS, iters: int = 3, alpha: float = 0.85) -> str:
+    """Unrolled personalized PageRank (random walk with restart): teleport
+    and dangling mass flow to the seed set uniformly; r0 = the seed
+    distribution. Mirrors plans/pagerank.py's personalize branch
+    term-for-term ((1-alpha)*p + alpha*(inc + dang*p))."""
+    in_list = ",".join(str(s) for s in seeds)
+    w = 1.0 / len(seeds)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
+        "outdeg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),",
+        f"pvec AS MATERIALIZED (SELECT v, CASE WHEN v IN ({in_list}) THEN {w!r} ELSE 0.0 END AS p FROM verts),",
+        "r0 AS MATERIALIZED (SELECT v, p AS r FROM pvec),",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k-1}"
+        parts.append(f"""
+dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {prev} p
+            LEFT JOIN outdeg od ON od.v = p.v WHERE od.v IS NULL),
+inc{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.r / od.deg) AS s
+           FROM edges e JOIN {prev} p ON p.v = e.src JOIN outdeg od ON od.v = e.src
+           GROUP BY e.dst),
+r{k} AS MATERIALIZED (SELECT pv.v,
+           (1 - {alpha}) * pv.p + {alpha} * (COALESCE(i.s, 0.0) + dang{k}.d * pv.p) AS r
+         FROM pvec pv CROSS JOIN dang{k}
+         LEFT JOIN inc{k} i ON i.v = pv.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
+
+
 def _pagerank_minigraph3_sql(iters: int = 3, gamma: float = 0.01, eps: float = 0.001) -> str:
     parts = [
         f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
@@ -852,6 +885,15 @@ def _q_pagerank3(spark, sf_dir):
     return res.state.select("vid", F.round("value", 6).alias("rank"))
 
 
+def _q_ppr3(spark, sf_dir):
+    """Personalized PageRank (random walk with restart from 3 seeds), 3
+    synchronous sweeps — teleport and dangling mass flow to the seeds."""
+    res = run_pagerank(mod_edges(spark, sf_dir), tol=0.0, max_iter=3,
+                       engine_kwargs={"salt_skew": False},
+                       personalize=list(PPR_SEEDS))
+    return res.state.select("vid", F.round("value", 6).alias("rank"))
+
+
 def _q_pagerank_warm_mod(spark, sf_dir):
     """PageRank IncEval face: 2 rounds on ~4/5 of the mod graph, then 2
     warm-started rounds on the full graph from the carried-over ranks
@@ -1454,6 +1496,7 @@ QUERIES = {
     "triangle_count_mod": _q_triangles,
     "triangles_per_vertex_mod": _q_triangles_per_vertex,
     "pagerank3_mod": _q_pagerank3,
+    "ppr3_mod": _q_ppr3,
     "pagerank_warm_mod": _q_pagerank_warm_mod,
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
@@ -1611,6 +1654,7 @@ _ORACLE_SQL_STATIC = {
       SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY vid
     """,
     "pagerank3_mod": _pagerank3_sql(),
+    "ppr3_mod": _ppr3_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),
     "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
     "lpa2_mod": _lpa2_sql(),

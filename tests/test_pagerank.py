@@ -64,3 +64,24 @@ def test_pagerank_warm_start_matches_and_saves_iterations(spark):
     assert warm.iterations < cold.iterations
     # the warm-started vector is still a probability distribution
     assert abs(sum(labels_dict(warm.state).values()) - 1.0) < 1e-6
+
+
+def test_pagerank_personalized_rmat(spark):
+    """PPR == the NumPy random-walk-with-restart oracle: teleport and
+    dangling mass flow to the seeds; non-seed mass decays to the seeds'
+    neighborhoods. Also checks mass conservation and the variant guard."""
+    import pytest
+
+    arr = make_rmat_edges_np(power=7, num_edges=600, seed=3)
+    seeds = [int(arr[0, 0]), int(arr[1, 1]), int(arr[5, 0])]
+    res = run_pagerank(_spark_edges(spark, arr), tol=0.0, max_iter=4,
+                       personalize=seeds)
+    want = oracle.pagerank_personalized(arr, seeds, iters=4)
+    _assert_allclose(labels_dict(res.state), want)
+    assert abs(sum(labels_dict(res.state).values()) - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="personalize"):
+        run_pagerank(_spark_edges(spark, arr), variant="minigraph",
+                     personalize=seeds)
+    with pytest.raises(ValueError, match="personalize"):
+        run_pagerank(_spark_edges(spark, arr), personalize=[])
