@@ -215,3 +215,46 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2,
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    band_size: int = 2,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy-dedup clustering — the composition a 100 TB dedup pipeline
+    actually runs: MinHash-LSH candidate pairs treated as an undirected
+    graph, connected components over it (run_wcc: labels = min doc_id per
+    cluster, the canonical representative), every unpaired doc a singleton.
+    Pairs alone don't dedup — transitive closure does (A~B, B~C must land
+    A, B, C in one cluster even when A and C share no band).
+
+    Output: (doc_id, cluster, is_canonical). Keep `is_canonical` rows for
+    the deduped corpus. Scale shape: the pair graph is tiny relative to the
+    corpus (only near-dup docs appear), so the WCC runs on a vanishing
+    fraction of rows; the final join back is V-row, broadcast-able when the
+    pair graph is small.
+    """
+    from ..plans.wcc import run_wcc
+
+    pairs = minhash_lsh_pairs(docs, num_hashes, band_size, k, text_col)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = run_wcc(edges, engine_kwargs={"salt_skew": False}).state
+    clustered = labels.select(
+        F.col("vid").alias("doc_id"), F.col("value").alias("cluster")
+    )
+    out = (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+        .withColumn("is_canonical", F.col("cluster") == F.col("doc_id"))
+    )
+    # labels stays persisted (it is a lineage-truncated checkpoint backing
+    # `out`'s plan — unpersisting it here would make `out` unrecomputable);
+    # it is V_paired-row small and freed with the session/clear_storage
+    return out

@@ -231,6 +231,50 @@ r{k} AS MATERIALIZED (SELECT pv.v,
     return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
 
 
+WALK_SEEDS = [0, 7, 101]
+WALK_STEPS = 4
+
+
+def _walk_sql(seeds: list[int] = WALK_SEEDS, steps: int = WALK_STEPS) -> str:
+    """Unrolled deterministic-walk oracle: per step, the argmin-by-
+    (md5_int63(v:nbr:t), nbr) out-neighbor — the exact hop rule of
+    operators/sampling.deterministic_walks, hash computed by the shared
+    cross-engine md5 idiom."""
+    from .functions.hashing import md5_int63_sql
+
+    vals = ",".join(f"({s})" for s in seeds)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
+        f"w0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS v "
+        f"FROM (VALUES {vals}) t(seed)),",
+    ]
+    for t in range(1, steps + 1):
+        h = md5_int63_sql(
+            f"CAST(w.v AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR) || ':{t}'"
+        )
+        parts.append(
+            f"s{t} AS (SELECT w.seed, e.dst, {h} AS h "
+            f"FROM w{t-1} w JOIN edges e ON e.src = w.v),"
+        )
+        parts.append(
+            f"w{t} AS (SELECT seed, dst AS v FROM ("
+            f"SELECT seed, dst, row_number() OVER (PARTITION BY seed ORDER BY h, dst) AS rn "
+            f"FROM s{t}) t WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    final = "\nUNION ALL\n".join(
+        f"SELECT seed, {t} AS step, v AS vid FROM w{t}" for t in range(steps + 1)
+    )
+    return "\n".join(parts) + "\n" + final
+
+
+def _q_walks(spark, sf_dir):
+    """Deterministic pseudo-random walks (GNN neighbor-sampling face)."""
+    from .operators.sampling import deterministic_walks
+
+    return deterministic_walks(mod_edges(spark, sf_dir), WALK_SEEDS, WALK_STEPS)
+
+
 def _pagerank_minigraph3_sql(iters: int = 3, gamma: float = 0.01, eps: float = 0.001) -> str:
     parts = [
         f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
@@ -425,8 +469,8 @@ _MINHASH_SQL = (
     + " FROM sh GROUP BY doc_id)\nSELECT doc_id, h0, h1, h2, h3 FROM sigs"
 )
 
-_LSH_PAIRS_SQL = (
-    "WITH " + _SHINGLE_CTE + ",\nsigs AS (SELECT doc_id, "
+_LSH_BANDED_CTE = (
+    _SHINGLE_CTE + ",\nsigs AS (SELECT doc_id, "
     + ", ".join(
         f"MIN({_MD5H.format(expr=repr(str(s)+':') + ' || shingle')}) AS h{s}"
         for s in range(4)
@@ -435,10 +479,38 @@ _LSH_PAIRS_SQL = (
 banded AS (
   SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS bucket FROM sigs
   UNION ALL
-  SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) AS bucket FROM sigs)
+  SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) AS bucket FROM sigs)"""
+)
+
+_LSH_PAIRS_SQL = (
+    "WITH " + _LSH_BANDED_CTE + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b USING (band, bucket)
 WHERE a.doc_id < b.doc_id
+"""
+)
+
+# Fuzzy-dedup clustering: the LSH candidate pairs as an undirected graph,
+# connected components over it (min-doc_id labels), every unpaired doc its
+# own singleton cluster — the composition a 100 TB dedup pipeline actually
+# runs (pairs alone don't dedup; transitive closure does).
+_DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _LSH_BANDED_CTE + """,
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(v, m) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.m FROM reach r JOIN und u ON u.src = r.v
+),
+labels AS (SELECT v, MIN(m) AS label FROM reach GROUP BY v)
+SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster,
+       (COALESCE(l.label, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN labels l ON l.v = d.doc_id
 """
 )
 
@@ -1007,6 +1079,13 @@ def _q_minhash(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup end-to-end: LSH pairs -> WCC -> canonical per cluster."""
+    from .operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def _q_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
@@ -1497,6 +1576,7 @@ QUERIES = {
     "triangles_per_vertex_mod": _q_triangles_per_vertex,
     "pagerank3_mod": _q_pagerank3,
     "ppr3_mod": _q_ppr3,
+    "walk4_mod": _q_walks,
     "pagerank_warm_mod": _q_pagerank_warm_mod,
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
@@ -1510,6 +1590,7 @@ QUERIES = {
     "exact_dedup_keep_min": _q_dedup_keep_min,
     "minhash_signatures": _q_minhash,
     "minhash_lsh_pairs": _q_lsh_pairs,
+    "near_dup_clusters": _q_dedup_clusters,
     "ngram_jaccard_dup": _q_ngram_jaccard,
     "simhash": _q_simhash,
     "simhash_near_pairs": _q_simhash_near_pairs,
@@ -1655,6 +1736,7 @@ _ORACLE_SQL_STATIC = {
     """,
     "pagerank3_mod": _pagerank3_sql(),
     "ppr3_mod": _ppr3_sql(),
+    "walk4_mod": _walk_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),
     "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
     "lpa2_mod": _lpa2_sql(),
@@ -1669,6 +1751,7 @@ _ORACLE_SQL_STATIC = {
     """,
     "minhash_signatures": _MINHASH_SQL,
     "minhash_lsh_pairs": _LSH_PAIRS_SQL,
+    "near_dup_clusters": _DEDUP_CLUSTERS_SQL,
     "ngram_jaccard_dup": _NGRAM_JACCARD_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,

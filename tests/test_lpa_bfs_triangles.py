@@ -239,3 +239,27 @@ def test_kcore_matches_numpy_oracle(spark):
         got = {r["vid"] for r in run_kcore(edges, k=k).collect()}
         want = oracle.kcore_vertices(arr, k)
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_deterministic_walks_sink_stop_and_reproducibility(spark):
+    """Walks stop at sinks (no rows past the sink step) and are exactly
+    reproducible run-to-run (the property that makes training-data
+    emission resumable)."""
+    import pandas as pd
+
+    from minigraph_spark.operators.sampling import deterministic_walks
+
+    # 0 -> {1,2}, 1 -> 3, 2 -> 3; 3 is a sink
+    edges = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], columns=["src", "dst"]),
+        schema="src long, dst long",
+    )
+    rows = {(r["seed"], r["step"]): r["vid"]
+            for r in deterministic_walks(edges, [0], steps=5).collect()}
+    assert rows[(0, 0)] == 0
+    assert rows[(0, 1)] in (1, 2)
+    assert rows[(0, 2)] == 3
+    assert (0, 3) not in rows  # sink reached: walk stops, no phantom rows
+    again = {(r["seed"], r["step"]): r["vid"]
+             for r in deterministic_walks(edges, [0], steps=5).collect()}
+    assert rows == again
