@@ -1408,6 +1408,39 @@ def _q_kcore(spark, sf_dir):
     return run_kcore(kc_edges(spark, sf_dir), k=KC_K)
 
 
+def _q_bfs_decremental_mod(spark, sf_dir):
+    """Deletion-capable BFS IncEval: converge on the full mod graph, delete
+    ~1/7 of the edges, localize (support-loss seeds -> forward closure ->
+    boundary re-convergence); exact vs the batch recursive-CTE oracle on
+    the remaining edges."""
+    from .plans.bfs import run_bfs_decremental
+
+    e = mod_edges(spark, sf_dir)
+    dele = e.filter((F.col("src") * 5 + F.col("dst")) % 7 == 0)
+    root = e.select(F.least(F.min("src"), F.min("dst")).alias("r")).collect()[0]["r"]
+    prev = run_bfs(e, root=int(root), engine_kwargs={"salt_skew": False})
+    res = run_bfs_decremental(e, dele, prev.state, root=int(root),
+                              engine_kwargs={"salt_skew": False})
+    return res.state.filter(F.col("value").isNotNull()).select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
+_BFS_DEC_MOD_SQL = f"""
+WITH RECURSIVE
+alledges AS MATERIALIZED ({MOD_SQL}),
+edges AS MATERIALIZED (SELECT src, dst FROM alledges WHERE (src * 5 + dst) % 7 <> 0),
+fverts AS (SELECT src AS v FROM alledges UNION SELECT dst FROM alledges),
+root AS (SELECT MIN(v) AS rv FROM fverts),
+walk(v, d) AS (
+  SELECT rv, CAST(0 AS BIGINT) FROM root
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 250
+)
+SELECT v AS vid, MIN(d) AS dist FROM walk GROUP BY v
+"""
+
+
 def _q_wcc_decremental_snr(spark, sf_dir):
     """Deletion-capable IncEval (BEYOND reference parity — its IncEval is
     additions-only monotone): converge on the full supplier->nation->region
@@ -1614,6 +1647,7 @@ QUERIES = {
     "wcc_seq_converged": _q_wcc_seq_converged,
     "wcc_incremental_snr": _q_wcc_incremental_snr,
     "wcc_decremental_snr": _q_wcc_decremental_snr,
+    "bfs_decremental_mod": _q_bfs_decremental_mod,
     "bfs_incremental_mod": _q_bfs_incremental_mod,
     "sssp_incremental_mod": _q_sssp_incremental_mod,
     "triangle_count_incremental_mod": _q_triangles_incremental_mod,
@@ -1798,6 +1832,7 @@ _ORACLE_SQL_STATIC = {
     # IncEval == PEval on the full graph for monotone kernels — batch oracles
     "wcc_incremental_snr": _WCC_SNR_SQL,
     "wcc_decremental_snr": _WCC_DEC_SNR_SQL,
+    "bfs_decremental_mod": _BFS_DEC_MOD_SQL,
     "bfs_incremental_mod": _BFS_MOD_SQL,
     "sssp_incremental_mod": _SSSP_W_MOD_SQL,
     "triangle_count_incremental_mod": _TRI_MOD_SQL,

@@ -263,3 +263,44 @@ def test_deterministic_walks_sink_stop_and_reproducibility(spark):
     again = {(r["seed"], r["step"]): r["vid"]
              for r in deterministic_walks(edges, [0], steps=5).collect()}
     assert rows == again
+
+
+def test_bfs_sssp_decremental_equals_batch_on_remaining(spark):
+    """Deletion IncEval for distances == batch on (edges \\ deleted), unit
+    and weighted, including paths that must LENGTHEN through the affected
+    region and vertices that become unreachable (NULL)."""
+    import pandas as pd
+
+    from minigraph_spark.plans.bfs import run_bfs_decremental
+
+    arr = make_rmat_edges_np(power=7, num_edges=500, seed=41)
+    edges = _spark_edges(spark, arr)
+    root = int(arr.min())
+    mask = (arr[:, 0] * 3 + arr[:, 1] * 5) % 6 == 0
+    dele = _spark_edges(spark, arr[mask])
+    remaining = arr[~mask]
+    # drop any remaining row whose (src,dst) pair also appears deleted
+    # (parallel arcs are removed by pair)
+    dset = {(int(a), int(b)) for a, b in arr[mask]}
+    remaining = remaining[
+        [tuple(map(int, r)) not in dset for r in remaining]
+    ]
+
+    # unit BFS
+    prev = run_bfs(edges, root=root, engine_kwargs={"salt_skew": False})
+    res = run_bfs_decremental(edges, dele, prev.state, root=root,
+                              engine_kwargs={"salt_skew": False})
+    got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
+    assert got == oracle.bfs_dist(remaining, root)
+
+    # weighted SSSP: deterministic weights derived from endpoints
+    wexpr = "(1 + (src * 31 + dst) % 9)"
+    we = edges.selectExpr("src", "dst", f"cast({wexpr} as long) as w")
+    wd = dele.selectExpr("src", "dst", f"cast({wexpr} as long) as w")
+    prev_w = run_bfs(we, root=root, weight_col="w",
+                     engine_kwargs={"salt_skew": False})
+    res_w = run_bfs_decremental(we, wd, prev_w.state, root=root, weight_col="w",
+                                engine_kwargs={"salt_skew": False})
+    got_w = {k: v for k, v in labels_dict(res_w.state).items() if v is not None}
+    trip = [(int(s), int(d), int(1 + (s * 31 + d) % 9)) for s, d in remaining]
+    assert got_w == oracle.sssp_dist(trip, root)
