@@ -85,3 +85,86 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             cond = cond & (F.col(f"c_{lang}") > o)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return agg.select("doc_id", pred.alias("lang_pred"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, score, rank) — top-k salient terms per document by
+    tf x inverse document frequency.
+
+    idf here is the RAW rational inverse frequency N/df (not log-scaled):
+    the ranking inside a document is identical for any monotone transform
+    of idf, and a rational score keeps the oracle cross-engine exact
+    (log/ln may differ between libm implementations in the last ulp, which
+    a 6-dp round can flip at a boundary). Swap in log scaling behind the
+    same contract if absolute scores must be comparable across corpora.
+
+    All built-ins, three shuffles (tf group, df group, per-doc top-k
+    window): explode -> count per (doc, term) -> distinct-doc count per
+    term -> score join -> row_number window capped at k. The window
+    partitions by doc_id — bounded by per-doc vocabulary, no global sort.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(event_id, user_id, session_seq) — gap-based sessionization: a new
+    session starts when the time since the user's previous event exceeds
+    ``gap_seconds``. session_seq is the 0-based session index within the
+    user (cumulative sum of session-start flags over the user's timeline).
+
+    One shuffle (the per-user window); ties on ts break by event id, the
+    same total order the seq-edge projection uses. The classic
+    transcript/event preprocessing step before per-session aggregation or
+    the conversation->graph projection."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # timestamp-minus-timestamp interval compare: exact to the microsecond,
+    # timezone-free (works on TIMESTAMP_NTZ), and identical semantics in the
+    # SQL oracle's `ts - lag(ts) > INTERVAL`; two selects because a window
+    # result can't feed another window expression in the same projection
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (
+            (F.col(ts_col) - prev_ts)
+            > F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = events.select(id_col, user_col, ts_col, new_sess.alias("_new"))
+    cum = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        id_col,
+        user_col,
+        (F.sum("_new").over(cum) - 1).cast("long").alias("session_seq"),
+    )

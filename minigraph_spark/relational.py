@@ -1116,6 +1116,51 @@ def _q_embedding_dup_lsh(spark, sf_dir):
     )
 
 
+def _q_tfidf(spark, sf_dir):
+    from .operators.textops import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+_TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+scored AS (SELECT t.doc_id, t.term, t.tf, ROUND(t.tf * nd.n / d.df, 6) AS score
+           FROM tf t JOIN df d USING (term) CROSS JOIN nd),
+ranked AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, tf DESC, term ASC
+           ) AS INTEGER) AS rank FROM scored)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+SESSION_GAP_SECONDS = 43200  # 12h: the driver events' median per-user gap
+# is ~7.3h, p90 ~25h — this threshold splits real sessions at every sf
+
+
+def _q_sessionize(spark, sf_dir):
+    from .operators.textops import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_SECONDS)
+
+
+_SESSIONIZE_SQL = f"""
+SELECT event_id, user_id,
+       CAST(SUM(new_sess) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+       ) - 1 AS BIGINT) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '{SESSION_GAP_SECONDS}' SECOND
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events) t
+"""
+
+
 def _q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
@@ -1629,6 +1674,8 @@ QUERIES = {
     "simhash_near_pairs": _q_simhash_near_pairs,
     "embedding_near_dup_lsh": _q_embedding_dup_lsh,
     "token_count": _q_token_count,
+    "tfidf_top3": _q_tfidf,
+    "sessionize_events": _q_sessionize,
     "token_stats": _q_token_stats,
     "quality_score": _q_quality,
     "lang_id": _q_lang_id,
@@ -1789,6 +1836,8 @@ _ORACLE_SQL_STATIC = {
     "ngram_jaccard_dup": _NGRAM_JACCARD_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
+    "tfidf_top3": _TFIDF_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
     "token_count": """
       SELECT doc_id,
              CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
