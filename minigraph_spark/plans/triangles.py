@@ -235,24 +235,66 @@ def triangle_count_incremental(
     )
 
 
-def per_vertex_triangles(edges: DataFrame, by_degree: bool = True) -> DataFrame:
+def _per_corner(inter: DataFrame) -> DataFrame:
+    """Corner contributions of closed wedges: u and v get the intersection
+    size, every closer c gets 1 via explode — all JVM-side."""
+    inter = inter.filter(F.size("cs") > 0)
+    return (
+        inter.select(F.col("u").alias("vid"), F.size("cs").alias("t"))
+        .unionAll(inter.select(F.col("v").alias("vid"), F.size("cs").alias("t")))
+        .unionAll(inter.select(F.explode("cs").alias("vid"), F.lit(1).alias("t")))
+    )
+
+
+def per_vertex_triangles(
+    edges: DataFrame, by_degree: bool = True, src_buckets: int = 1
+) -> DataFrame:
     """(vid, triangles) — per-vertex participation count (nx.triangles
-    analog); sums to 3x the global count. Corners u and v of each closed
-    wedge contribute the intersection size; every closer c contributes 1
-    via explode — all JVM-side.
+    analog); sums to 3x the global count.
+
+    src_buckets > 1 applies the same disk-budget chunking as
+    triangle_count: per-bucket V-row partial counts are materialized
+    SEQUENTIALLY (so only one bucket's array-shipping join is in flight —
+    a single unioned plan would execute every bucket at once and restore
+    the unbucketed peak), then merged with one final V-row sum.
 
     Returned persisted + materialized (V rows) so the E-row oriented edge
     cache can be freed here instead of leaking; callers may unpersist the
     result when done."""
     e = oriented_edges(edges, by_degree, materialize=True)
-    inter = _edge_intersections(e).filter(F.size("cs") > 0)
-    per_corner = (
-        inter.select(F.col("u").alias("vid"), F.size("cs").alias("t"))
-        .unionAll(inter.select(F.col("v").alias("vid"), F.size("cs").alias("t")))
-        .unionAll(inter.select(F.explode("cs").alias("vid"), F.lit(1).alias("t")))
-    )
+    if src_buckets > 1:
+        adj = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs")).persist()
+        adj.count()
+        bucket = F.pmod(F.xxhash64("src"), F.lit(src_buckets))
+        partials = []
+        for b in range(src_buckets):
+            pb = (
+                _per_corner(_edge_intersections(e.filter(bucket == b), adj))
+                .groupBy("vid")
+                .agg(F.sum("t").cast("long").alias("t"))
+                .persist()
+            )
+            pb.count()
+            partials.append(pb)
+        merged = partials[0]
+        for pb in partials[1:]:
+            merged = merged.unionAll(pb)
+        out = (
+            merged.groupBy("vid")
+            .agg(F.sum("t").cast("long").alias("triangles"))
+            .persist()
+        )
+        out.count()
+        for pb in partials:
+            pb.unpersist()
+        adj.unpersist()
+        e.unpersist()
+        return out
     out = (
-        per_corner.groupBy("vid").agg(F.sum("t").cast("long").alias("triangles")).persist()
+        _per_corner(_edge_intersections(e))
+        .groupBy("vid")
+        .agg(F.sum("t").cast("long").alias("triangles"))
+        .persist()
     )
     out.count()
     e.unpersist()

@@ -126,6 +126,22 @@ def run_tri(args) -> None:
     spark.stop()
 
 
+def run_kcore_scale(args) -> None:
+    from minigraph_spark.plans.kcore import run_kcore
+
+    spark = _spark(f"kcore_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; k {args.k}; {_load()}", flush=True)
+    t0 = time.time()
+    core = run_kcore(rmat, k=args.k)
+    print(
+        f"{args.k}-core: {core.count()} vertices in {time.time() - t0:.0f}s; {_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
 def run_wedges(args) -> None:
     import duckdb
 
@@ -158,7 +174,7 @@ FROM od
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--algo", required=True,
-                    choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "wedges"])
+                    choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "kcore", "wedges"])
     ap.add_argument("--power", type=int, default=25)
     ap.add_argument("--edges", type=int, default=256_000_000)
     ap.add_argument("--seed", type=int, default=42)
@@ -167,6 +183,7 @@ def main() -> None:
                     help="fixed-iteration count for pr_fixed/lpa")
     ap.add_argument("--buckets", type=int, default=1,
                     help="tri: src-hash chunks bounding peak spill to ~1/B")
+    ap.add_argument("--k", type=int, default=10, help="kcore: the core order")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -179,6 +196,7 @@ def main() -> None:
         "wcc": run_wcc_scale,
         "lpa": run_lpa_scale,
         "tri": run_tri,
+        "kcore": run_kcore_scale,
         "wedges": run_wedges,
     }[args.algo](args)
 

@@ -304,3 +304,13 @@ def test_bfs_sssp_decremental_equals_batch_on_remaining(spark):
     got_w = {k: v for k, v in labels_dict(res_w.state).items() if v is not None}
     trip = [(int(s), int(d), int(1 + (s * 31 + d) % 9)) for s, d in remaining]
     assert got_w == oracle.sssp_dist(trip, root)
+
+
+def test_per_vertex_triangles_bucketed_equals_unbucketed(spark):
+    arr = make_rmat_edges_np(power=9, num_edges=4000, seed=31)
+    edges = _spark_edges(spark, arr)
+    one = {r["vid"]: r["triangles"] for r in per_vertex_triangles(edges).collect()}
+    buck = {r["vid"]: r["triangles"]
+            for r in per_vertex_triangles(edges, src_buckets=4).collect()}
+    assert one == buck
+    assert sum(one.values()) == 3 * oracle.triangle_count(arr)
