@@ -46,10 +46,13 @@ def run_kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("v")
+        # anti-join against the DROP set, not semi against the keep set:
+        # past the first rounds few vertices fall below k, so the drop side
+        # is small (broadcast-able) while keep stays V-row
+        drop = deg.filter(F.col("deg") < k).select("v")
         nxt = (
-            cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            cur.join(drop.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(drop.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst")
             .persist()
         )
