@@ -218,6 +218,8 @@ def run_bfs_decremental(
             break
         grown = visited.unionAll(nxt).persist()
         grown.count()
+        if frontier is not visited:  # round 1's frontier IS visited
+            frontier.unpersist()
         visited.unpersist()
         visited, frontier = grown, nxt
 
@@ -277,6 +279,8 @@ def run_bfs_decremental(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs_decremental",
     )
+    if frontier is not visited:
+        frontier.unpersist()
     visited.unpersist()
     eng.close()
     return res
