@@ -154,6 +154,78 @@ def stream_seq_edges(
     )
 
 
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_seq", T.LongType(), False),
+    ]
+)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_ns", T.LongType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _make_sessionize_stateful(gap_seconds: int):
+    gap_ns = int(gap_seconds) * 1_000_000_000
+
+    def _sessionize_stateful(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        # pin the epoch unit before the int view — Arrow may hand pandas
+        # either ns or us resolution depending on version
+        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        last_ns, seq = state.get if state.exists else (None, -1)
+        out = []
+        for t in ts_ns:
+            if last_ns is None or t - last_ns > gap_ns:
+                seq += 1
+            out.append(seq)
+            last_ns = int(t)
+        state.update((int(last_ns), int(seq)))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "user_id": int(key[0]),
+                "session_seq": pd.Series(out, dtype="int64"),
+            }
+        )
+
+    return _sessionize_stateful
+
+
+def stream_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Streaming face of operators/textops.sessionize: per-user gap-based
+    session assignment over an append-only event stream, cross-micro-batch
+    (the state holds each user's last event time + current session index).
+
+    Contract: per-user event times are non-decreasing across micro-batches
+    (append-only log); within a batch arrival order is irrelevant (sorted
+    per group). Under that contract the streamed (event_id, user_id,
+    session_seq) equals the batch sessionize exactly — proved by the
+    batch-equality pytest. State: one (ts, seq) tuple per user."""
+    return (
+        events.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionize_stateful(gap_seconds),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_turn_rates(
     transcripts: DataFrame,
     window: str = "1 minute",

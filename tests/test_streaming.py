@@ -129,3 +129,56 @@ def test_stream_delta_feeds_incremental_wcc(spark, tmp_path):
     assert got == want
     v1.unpersist()
     v2.unpersist()
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """Cross-micro-batch streaming sessionization == batch sessionize on the
+    same events: each user's events are split time-ordered across 3 files
+    (one per micro-batch), so sessions must chain through the per-user
+    state, including gaps that straddle a batch boundary."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minigraph_spark.operators.textops import sessionize
+    from minigraph_spark.streaming import run_available_now, stream_sessionize
+
+    rng = np.random.default_rng(11)
+    n = 600
+    users = rng.integers(0, 20, size=n)
+    # bursty inter-event gaps: mostly short, some >> threshold
+    gaps = np.where(rng.random(n) < 0.2, 7200, 60) + rng.integers(0, 30, size=n)
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+        np.cumsum(gaps), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64), "user_id": users.astype(np.int64),
+         "ts": ts.astype("datetime64[us]")}
+    )
+    path = str(tmp_path / "events")
+    import os
+
+    os.makedirs(path)
+    order = pdf.sort_values(["user_id", "ts", "event_id"])
+    slot = order.groupby("user_id").cumcount() * 3 // order.groupby(
+        "user_id"
+    )["event_id"].transform("size")
+    for k in range(3):
+        part = order[slot == k]
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       f"{path}/part-{k}.parquet")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    got = run_available_now(
+        stream_sessionize(stream, gap_seconds=1800), "sessionize_stream"
+    )
+    batch = sessionize(spark.createDataFrame(pdf, schema=schema), gap_seconds=1800)
+    g = {(r.event_id, r.user_id): r.session_seq for r in got.collect()}
+    b = {(r.event_id, r.user_id): r.session_seq for r in batch.collect()}
+    assert g == b and len(g) == n
+    # sessions actually split (the fixture has real >30min gaps)
+    assert max(g.values()) >= 3
