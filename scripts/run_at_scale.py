@@ -95,7 +95,7 @@ def run_wcc_scale(args) -> None:
 def run_lpa_scale(args) -> None:
     from minigraph_spark.plans.lpa import run_lpa
 
-    spark = _spark(f"lpa_p{args.power}", args.shuffle)
+    spark = _spark(f"lpa_p{args.power}", args.shuffle, zstd=args.zstd)
     rmat = spark.read.parquet(args.path)
     n = rmat.count()
     print(f"edges {n}; {_load()}", flush=True)
@@ -184,6 +184,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=1,
                     help="tri: src-hash chunks bounding peak spill to ~1/B")
     ap.add_argument("--k", type=int, default=10, help="kcore: the core order")
+    ap.add_argument("--zstd", action="store_true",
+                    help="zstd shuffle/spill compression (~1.5-2x smaller on id "
+                         "data than lz4; tri/kcore always use it) — use when a "
+                         "run's shuffle volume presses the node's free disk")
     args = ap.parse_args()
 
     t0 = time.time()
