@@ -47,6 +47,34 @@ def distinct_vertex_count(edges: DataFrame, approx: bool = False) -> DataFrame:
     return v.distinct().agg(F.count(F.lit(1)).alias("num_vertices"))
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (assortativity): Pearson correlation of endpoint degrees over
+    the symmetrized simple undirected closure — each undirected edge
+    contributes both (deg_u, deg_v) and (deg_v, deg_u), the standard
+    undirected convention (nx.degree_assortativity_coefficient; correlation
+    is scale-invariant so sample vs population denominators cancel).
+
+    Plan shape: one E-row dedup shuffle (closure), one V-row degree agg
+    reused on both join sides, a single-pass co-moment aggregate (F.corr) —
+    no quadratic stage; the degree table is V rows and broadcasts when
+    small, shuffles co-partitioned when not."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("vid")).agg(F.count(F.lit(1)).alias("deg"))
+    joined = und.join(
+        deg.select(F.col("vid").alias("src"), F.col("deg").alias("sdeg")), "src"
+    ).join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+    return joined.agg(F.corr("sdeg", "ddeg").alias("assortativity"))
+
+
 def graph_statistics(edges: DataFrame) -> DataFrame:
     """One-row summary matching the reference's .statistic output fields
     (get_statistics.cpp:19-163): edge count, vertex count, max vid,

@@ -235,6 +235,81 @@ def triangle_count_incremental(
     )
 
 
+def clustering_coefficients(
+    edges: DataFrame, by_degree: bool = True, src_buckets: int = 1
+) -> DataFrame:
+    """(vid, deg, triangles, lcc) over the simple undirected closure —
+    lcc = 2*T(v) / (deg(v) * (deg(v)-1)), 0 when deg < 2 (the nx.clustering
+    convention). Every closure vertex is emitted, zero-triangle ones with
+    lcc = 0.
+
+    Rides the degree-oriented intersection machinery (per_vertex_triangles),
+    so the quadratic wedge volume stays inside row arrays and src_buckets
+    bounds peak spill exactly as for the raw counts. Result is persisted +
+    materialized (V rows) so the E-row closure cache frees here; callers
+    unpersist when done."""
+    canon = oriented_edges(edges, by_degree=False, materialize=True)
+    deg = (
+        canon.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = per_vertex_triangles(canon, by_degree=by_degree, src_buckets=src_buckets)
+    out = (
+        deg.join(tri, "vid", "left")
+        .select(
+            "vid",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+        .persist()
+    )
+    out.count()
+    tri.unpersist()
+    canon.unpersist()
+    return out
+
+
+def transitivity(edges: DataFrame, src_buckets: int = 1) -> DataFrame:
+    """One row (num_triangles, num_wedges, transitivity): the global
+    clustering coefficient 3T / W with W = sum_v deg(v)*(deg(v)-1)/2 wedges
+    on the simple undirected closure; 0.0 on a wedge-free graph."""
+    canon = oriented_edges(edges, by_degree=False, materialize=True)
+    t = triangle_count(canon, src_buckets=src_buckets)
+    w = (
+        canon.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("long")
+            .alias("num_wedges")
+        )
+    )
+    out = t.crossJoin(w).select(
+        "num_triangles",
+        "num_wedges",
+        F.when(
+            F.col("num_wedges") > 0,
+            3.0 * F.col("num_triangles") / F.col("num_wedges"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("transitivity"),
+    )
+    rows = out.collect()  # 1 row — frees the closure cache before returning
+    canon.unpersist()
+    return edges.sparkSession.createDataFrame(
+        rows, "num_triangles long, num_wedges long, transitivity double"
+    )
+
+
 def _per_corner(inter: DataFrame) -> DataFrame:
     """Corner contributions of closed wedges: u and v get the intersection
     size, every closer c gets 1 via explode — all JVM-side."""

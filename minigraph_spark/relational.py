@@ -48,8 +48,14 @@ from .operators.textops import lang_id, quality_score, token_count, token_stats
 from .plans.bfs import run_bfs
 from .plans.lpa import run_lpa
 from .plans.pagerank import run_pagerank
-from .plans.stats import degrees, distinct_vertex_count, graph_statistics
-from .plans.triangles import triangle_count
+from .plans.linkpred import adamic_adar
+from .plans.stats import (
+    degree_assortativity,
+    degrees,
+    distinct_vertex_count,
+    graph_statistics,
+)
+from .plans.triangles import clustering_coefficients, transitivity, triangle_count
 from .plans.wcc import component_sizes, run_wcc
 
 MOD = 200  # vertex-space size of the mod graph
@@ -951,6 +957,33 @@ def _q_triangles_per_vertex(spark, sf_dir):
     return per_vertex_triangles(mod_edges(spark, sf_dir))
 
 
+def _q_clustering(spark, sf_dir):
+    cc = clustering_coefficients(mod_edges(spark, sf_dir))
+    return cc.select("vid", "deg", "triangles", F.round("lcc", 6).alias("lcc"))
+
+
+def _q_transitivity(spark, sf_dir):
+    t = transitivity(mod_edges(spark, sf_dir))
+    return t.select(
+        "num_triangles", "num_wedges", F.round("transitivity", 6).alias("transitivity")
+    )
+
+
+def _q_adamic_adar(spark, sf_dir):
+    """Global top-50 Adamic-Adar link predictions on the sparser kc graph
+    (the mod graph is near-complete at sf0.01 — nearly no non-adjacent
+    pairs to predict)."""
+    aa = adamic_adar(kc_edges(spark, sf_dir), top_k=50)
+    return aa.select(
+        "u", "v", "common_neighbors", F.round("aa_score", 6).alias("aa_score"), "rank"
+    )
+
+
+def _q_assortativity(spark, sf_dir):
+    r = degree_assortativity(mod_edges(spark, sf_dir))
+    return r.select(F.round("assortativity", 6).alias("assortativity"))
+
+
 def _q_pagerank3(spark, sf_dir):
     res = run_pagerank(mod_edges(spark, sf_dir), tol=0.0, max_iter=3,
                        engine_kwargs={"salt_skew": False})
@@ -1652,6 +1685,10 @@ QUERIES = {
     "vertex_compaction": _q_vertex_compaction,
     "triangle_count_mod": _q_triangles,
     "triangles_per_vertex_mod": _q_triangles_per_vertex,
+    "clustering_mod": _q_clustering,
+    "transitivity_mod": _q_transitivity,
+    "adamic_adar_kc": _q_adamic_adar,
+    "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
     "ppr3_mod": _q_ppr3,
     "walk4_mod": _q_walks,
@@ -1814,6 +1851,72 @@ _ORACLE_SQL_STATIC = {
         SELECT b FROM tri UNION ALL SELECT c FROM tri
       )
       SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY vid
+    """,
+    "clustering_mod": f"""
+      WITH edges AS ({MOD_SQL}),
+      und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      ord_e AS (SELECT src, dst FROM und WHERE src < dst),
+      deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+      tri AS (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM ord_e ab JOIN ord_e bc ON bc.src = ab.dst
+        JOIN ord_e ac ON ac.src = ab.src AND ac.dst = bc.dst
+      ),
+      corners AS (
+        SELECT a AS vid FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL SELECT c FROM tri
+      ),
+      pt AS (SELECT vid, COUNT(*) AS t FROM corners GROUP BY vid)
+      SELECT d.vid, CAST(d.deg AS BIGINT) AS deg,
+             CAST(COALESCE(pt.t, 0) AS BIGINT) AS triangles,
+             ROUND(CASE WHEN d.deg >= 2
+                        THEN 2.0 * COALESCE(pt.t, 0) / (d.deg * (d.deg - 1.0))
+                        ELSE 0.0 END, 6) AS lcc
+      FROM deg d LEFT JOIN pt ON pt.vid = d.vid
+    """,
+    "transitivity_mod": f"""
+      WITH edges AS ({MOD_SQL}),
+      und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      ord_e AS (SELECT src, dst FROM und WHERE src < dst),
+      deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+      tc AS (
+        SELECT COUNT(*) AS t
+        FROM ord_e ab JOIN ord_e bc ON bc.src = ab.dst
+        JOIN ord_e ac ON ac.src = ab.src AND ac.dst = bc.dst
+      ),
+      wt AS (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS w FROM deg)
+      SELECT CAST(tc.t AS BIGINT) AS num_triangles, wt.w AS num_wedges,
+             ROUND(CASE WHEN wt.w > 0 THEN 3.0 * tc.t / wt.w ELSE 0.0 END, 6)
+               AS transitivity
+      FROM tc, wt
+    """,
+    "adamic_adar_kc": f"""
+      WITH edges AS ({KC_SQL}),
+      und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      ord_e AS (SELECT src, dst FROM und WHERE src < dst),
+      deg AS (SELECT src AS w, COUNT(*) AS deg FROM und GROUP BY src),
+      ctr AS (SELECT u.src AS w, u.dst AS n, 1.0 / LN(d.deg) AS wt
+              FROM und u JOIN deg d ON d.w = u.src WHERE d.deg >= 2),
+      pairs AS (SELECT a.n AS u, b.n AS v, a.wt
+                FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n),
+      scored AS (SELECT u, v, COUNT(*) AS cn, SUM(wt) AS aa
+                 FROM pairs GROUP BY u, v),
+      nonadj AS (SELECT s.* FROM scored s
+                 LEFT JOIN ord_e e ON e.src = s.u AND e.dst = s.v
+                 WHERE e.src IS NULL),
+      ranked AS (SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors,
+                        ROUND(aa, 6) AS aa_score,
+                        CAST(row_number() OVER (ORDER BY ROUND(aa, 6) DESC, u, v)
+                             AS INTEGER) AS rank
+                 FROM nonadj)
+      SELECT * FROM ranked WHERE rank <= 50
+    """,
+    "assortativity_mod": f"""
+      WITH edges AS ({MOD_SQL}),
+      und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src)
+      SELECT ROUND(CORR(ds.deg, dd.deg), 6) AS assortativity
+      FROM und u JOIN deg ds ON ds.vid = u.src JOIN deg dd ON dd.vid = u.dst
     """,
     "pagerank3_mod": _pagerank3_sql(),
     "ppr3_mod": _ppr3_sql(),

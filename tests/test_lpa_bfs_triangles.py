@@ -314,3 +314,67 @@ def test_per_vertex_triangles_bucketed_equals_unbucketed(spark):
             for r in per_vertex_triangles(edges, src_buckets=4).collect()}
     assert one == buck
     assert sum(one.values()) == 3 * oracle.triangle_count(arr)
+
+
+def test_clustering_known_values(spark):
+    # kite: triangle {0,1,2} plus pendant 2-3 —
+    # lcc: 0,1 = 1.0; 2 = 2*1/(3*2) = 1/3; 3 = 0 (deg 1)
+    edges = _spark_edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    from minigraph_spark.plans.triangles import clustering_coefficients, transitivity
+
+    cc = clustering_coefficients(edges)
+    got = {r["vid"]: (r["deg"], r["triangles"], round(r["lcc"], 9))
+           for r in cc.collect()}
+    cc.unpersist()
+    assert got == {0: (2, 1, 1.0), 1: (2, 1, 1.0),
+                   2: (3, 1, round(1 / 3, 9)), 3: (1, 0, 0.0)}
+    t = transitivity(edges).collect()[0]
+    # wedges: deg 2,2,3,1 -> 1+1+3+0 = 5; transitivity 3*1/5
+    assert (t["num_triangles"], t["num_wedges"]) == (1, 5)
+    assert abs(t["transitivity"] - 0.6) < 1e-12
+
+
+def test_adamic_adar_known_values_and_buckets(spark):
+    import math
+
+    # path 0-1-2 plus 1-3: non-adjacent pairs through center 1 (deg 3):
+    # (0,2), (0,3), (2,3) each score 1/ln(3); pair (0,2) also has no other
+    # common neighbor. Centers 0,2,3 have deg 1 -> no contribution.
+    edges = _spark_edges(spark, [(0, 1), (1, 2), (1, 3)])
+    from minigraph_spark.plans.linkpred import adamic_adar
+
+    aa = adamic_adar(edges)
+    got = {(r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+           for r in aa.collect()}
+    aa.unpersist()
+    s = 1 / math.log(3)
+    assert set(got) == {(0, 2), (0, 3), (2, 3)}
+    for cn, sc in got.values():
+        assert cn == 1 and abs(sc - s) < 1e-12
+
+    arr = make_rmat_edges_np(power=8, num_edges=2000, seed=17)
+    big = _spark_edges(spark, arr)
+    one = adamic_adar(big, top_k=25)
+    rows1 = [(r["u"], r["v"], r["rank"]) for r in one.collect()]
+    one.unpersist()
+    four = adamic_adar(big, top_k=25, center_buckets=4)
+    rows4 = [(r["u"], r["v"], r["rank"]) for r in four.collect()]
+    four.unpersist()
+    assert sorted(rows1) == sorted(rows4)
+
+
+def test_assortativity_matches_numpy(spark):
+    arr = make_rmat_edges_np(power=8, num_edges=2000, seed=23)
+    edges = _spark_edges(spark, arr)
+    from minigraph_spark.plans.stats import degree_assortativity
+
+    got = degree_assortativity(edges).collect()[0]["assortativity"]
+
+    # NumPy oracle: same closure, same both-directions convention
+    pairs = {(min(s, d), max(s, d)) for s, d in arr if s != d}
+    e = np.array(sorted(pairs))
+    und = np.vstack([e, e[:, ::-1]])
+    deg = np.bincount(und[:, 0].astype(int))
+    x, y = deg[und[:, 0]], deg[und[:, 1]]
+    want = float(np.corrcoef(x, y)[0, 1])
+    assert abs(got - want) < 1e-9
