@@ -47,6 +47,21 @@ ApplyFn = Callable[[DataFrame, DataFrame, dict], DataFrame]
 PrepareFn = Callable[[DataFrame, dict], dict]
 
 
+def persistent_rdd_ids(spark) -> set:
+    """Ids of every persisted RDD in the JVM — includes localCheckpoint
+    blocks, which df.unpersist() cannot free (they live outside the cache
+    manager). Shared by every iterative loop in the package: snapshot
+    around a materialization, diff, and free_rdd_ids the previous round."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def free_rdd_ids(spark, ids: set) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if rid in jmap:
+            jmap[rid].unpersist(False)
+
+
 @dataclass
 class IterationMetrics:
     iteration: int
@@ -174,13 +189,10 @@ class SuperstepEngine:
     # concurrent persists from other threads would land in the diff.
 
     def _persistent_ids(self) -> set:
-        return set(self.spark.sparkContext._jsc.getPersistentRDDs().keys())
+        return persistent_rdd_ids(self.spark)
 
     def _free_ids(self, ids: set) -> None:
-        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in ids:
-            if rid in jmap:
-                jmap[rid].unpersist(False)
+        free_rdd_ids(self.spark, ids)
 
     def close(self) -> None:
         """Free the engine's prepartitioned edge blocks (an eager

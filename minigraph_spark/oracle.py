@@ -341,3 +341,34 @@ def sssp_dist(edges_w, root: int) -> dict[int, int]:
                 dist[v] = nd
                 heapq.heappush(pq, (nd, v))
     return dist
+
+
+def _ktruss_peel(edges: np.ndarray, k: int) -> tuple[set[tuple[int, int]], int]:
+    """(surviving canonical edge set, rounds that CHANGED it) of the
+    synchronous k-truss peel (plans/ktruss.py rule: drop every edge whose
+    support — triangles through it in the CURRENT subgraph — is < k-2,
+    recompute, repeat to fixpoint)."""
+    e = _canon_undirected(edges)
+    cur = {(int(a), int(b)) for a, b in e}
+    rounds = 0
+    while cur:
+        adj: dict[int, set[int]] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {(a, b) for a, b in cur if len(adj[a] & adj[b]) >= k - 2}
+        if keep == cur:
+            break
+        cur = keep
+        rounds += 1
+    return cur, rounds
+
+
+def ktruss_edges(edges: np.ndarray, k: int) -> set[tuple[int, int]]:
+    return _ktruss_peel(edges, k)[0]
+
+
+def ktruss_peel_rounds(edges: np.ndarray, k: int) -> int:
+    """Changed-round count — the oracle unroll depth (extra unrolled rounds
+    past the fixpoint are no-ops, same idempotence argument as k-core)."""
+    return _ktruss_peel(edges, k)[1]

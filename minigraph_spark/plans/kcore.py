@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.project import symmetrize
+from ..operators.superstep import free_rdd_ids, persistent_rdd_ids
 
 
 def run_kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
@@ -32,11 +33,20 @@ def run_kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     Peels on the canonical (src < dst, self-loops dropped, deduped) closure;
     degree = undirected degree. Returns the fixpoint vertex set.
     """
+    spark = edges.sparkSession
+    # Eager localCheckpoint per round, NOT persist: the next-round plan
+    # references `cur` 3x (degree explode + the two anti joins), so an
+    # un-truncated logical plan grows ~3^rounds and its sizeInBytes
+    # BigIntegers with it — the same driver-side GC blowup measured on
+    # run_ktruss (plans/ktruss.py) at only 3 peel rounds. A deep peel
+    # (k near the degeneracy) runs tens of rounds.
+    before = persistent_rdd_ids(spark)
     cur = (
         symmetrize(edges)
         .filter(F.col("src") < F.col("dst"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    cur_ids = persistent_rdd_ids(spark) - before
     n_edges = cur.count()
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -50,18 +60,20 @@ def run_kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
         # past the first rounds few vertices fall below k, so the drop side
         # is small (broadcast-able) while keep stays V-row
         drop = deg.filter(F.col("deg") < k).select("v")
+        before = persistent_rdd_ids(spark)
         nxt = (
             cur.join(drop.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(drop.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst")
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        nxt_ids = persistent_rdd_ids(spark) - before
         n_next = nxt.count()
         if n_next == n_edges:
-            nxt.unpersist()
+            free_rdd_ids(spark, nxt_ids)
             break
-        cur.unpersist()
-        cur, n_edges = nxt, n_next
+        free_rdd_ids(spark, cur_ids)
+        cur, cur_ids, n_edges = nxt, nxt_ids, n_next
     out = (
         cur.select(F.col("src").alias("vid"))
         .unionAll(cur.select(F.col("dst").alias("vid")))
@@ -69,5 +81,5 @@ def run_kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
         .persist()
     )
     out.count()
-    cur.unpersist()
+    free_rdd_ids(spark, cur_ids)
     return out

@@ -141,6 +141,8 @@ MOD_SQL = f"""
 KC_MOD = 1000  # vertex space of the sparser k-core graph (mod graph's 200
 # is too dense to peel: min degree 66 at sf0.01)
 KC_K = 14      # peels 2 rounds / 974 survivors at sf0.01; empties at sf0.001
+KT_K = 4       # k-truss on the same kc graph: peels 3 rounds to an 18-edge
+# near-clique core at sf0.01; empties in 1 round at sf0.001
 
 
 def kc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,6 +1466,46 @@ def kcore_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
     return _kcore_sql(KC_K, kcore_peel_rounds(_kc_edges_np(sf_dir), KC_K) + 2)
 
 
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous truss peel: round r keeps edges whose support
+    (triangles through them in round r-1's edge set, each canonical triangle
+    crediting all three of its edges) is >= k-2. Rounds past the fixpoint
+    are no-ops — same idempotence argument as the k-core unroll."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (",
+        f"  SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM ({KC_SQL}) t),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"tri{r} AS MATERIALIZED ("
+            f"SELECT ab.s AS a, ab.d AS b, bc.d AS c "
+            f"FROM e{r-1} ab JOIN e{r-1} bc ON bc.s = ab.d "
+            f"JOIN e{r-1} ac ON ac.s = ab.s AND ac.d = bc.d),"
+        )
+        parts.append(
+            f"sup{r} AS MATERIALIZED (SELECT s, d, COUNT(*) AS c FROM ("
+            f"SELECT a AS s, b AS d FROM tri{r} UNION ALL "
+            f"SELECT b, c FROM tri{r} UNION ALL "
+            f"SELECT a, c FROM tri{r}) t GROUP BY s, d),"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.s, e.d FROM e{r-1} e "
+            f"JOIN sup{r} u ON u.s = e.s AND u.d = e.d WHERE u.c >= {k - 2}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT s AS src, d AS dst FROM e{rounds}")
+    return "\n".join(parts)
+
+
+@functools.cache
+def ktruss_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
+    """k-truss oracle with the unroll depth DERIVED from the input (same
+    no-measured-constants rule as kcore_oracle_sql)."""
+    from .oracle import ktruss_peel_rounds
+
+    return _ktruss_sql(KT_K, ktruss_peel_rounds(_kc_edges_np(sf_dir), KT_K) + 2)
+
+
 @functools.cache
 def _kc_edges_np(sf_dir: str):
     import duckdb
@@ -1484,6 +1526,14 @@ def _q_kcore(spark, sf_dir):
     from .plans.kcore import run_kcore
 
     return run_kcore(kc_edges(spark, sf_dir), k=KC_K)
+
+
+def _q_ktruss(spark, sf_dir):
+    """k-truss peel (no reference analog; near-clique core mining on the
+    same kc graph). Round count derived by oracle.ktruss_peel_rounds."""
+    from .plans.ktruss import run_ktruss
+
+    return run_ktruss(kc_edges(spark, sf_dir), k=KT_K)
 
 
 def _q_bfs_decremental_mod(spark, sf_dir):
@@ -1727,6 +1777,7 @@ QUERIES = {
     "frame_sample_real": _q_frame_sample_real,
     "coloring_mod": _q_coloring_mod,
     "kcore14_kc": _q_kcore,
+    "ktruss4_kc": _q_ktruss,
     "pagerank_mod_converged": _q_pagerank_converged,
     "wcc_seq_converged": _q_wcc_seq_converged,
     "wcc_incremental_snr": _q_wcc_incremental_snr,
@@ -1796,6 +1847,7 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_seq_edges": _stream_seq_sql(),
         "coloring_mod": coloring_oracle_sql(),
         "kcore14_kc": kcore_oracle_sql(),
+        "ktruss4_kc": ktruss_oracle_sql(),
         "pagerank_mod_converged": pagerank_converged_oracle_sql(),
         "edge_csv_batch_convert": _edge_csv_batch_convert_sql(),
     })

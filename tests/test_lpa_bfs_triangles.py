@@ -378,3 +378,24 @@ def test_assortativity_matches_numpy(spark):
     x, y = deg[und[:, 0]], deg[und[:, 1]]
     want = float(np.corrcoef(x, y)[0, 1])
     assert abs(got - want) < 1e-9
+
+
+def test_ktruss_matches_numpy_oracle(spark):
+    from minigraph_spark.plans.ktruss import run_ktruss
+
+    # 5-clique + pendant triangle sharing one vertex: 4-truss = the clique
+    clq = [(a, b) for a in range(5) for b in range(5) if a < b]
+    extra = [(4, 10), (4, 11), (10, 11)]
+    edges = _spark_edges(spark, clq + extra)
+    got = {(r["src"], r["dst"]) for r in run_ktruss(edges, k=4).collect()}
+    assert got == set(clq)
+    # trivial truss: k<=2 returns the whole closure
+    assert run_ktruss(edges, k=2).count() == len(clq) + len(extra)
+
+    # one R-MAT oracle check (k=4: two changed peel rounds + fixpoint probe);
+    # kept small — each peel round is a full multi-stage Spark job
+    arr = make_rmat_edges_np(power=7, num_edges=1500, seed=29)
+    big = _spark_edges(spark, arr)
+    got = {(int(r["src"]), int(r["dst"]))
+           for r in run_ktruss(big, k=4).collect()}
+    assert got == oracle.ktruss_edges(arr, 4)

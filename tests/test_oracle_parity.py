@@ -46,6 +46,10 @@ def _oracle_for(name: str) -> str:
         from minigraph_spark.relational import kcore_oracle_sql
 
         return kcore_oracle_sql(SF_DIR)
+    if name == "ktruss4_kc":
+        from minigraph_spark.relational import ktruss_oracle_sql
+
+        return ktruss_oracle_sql(SF_DIR)
     return ORACLE_SQL[name]
 
 
