@@ -372,3 +372,22 @@ def ktruss_peel_rounds(edges: np.ndarray, k: int) -> int:
     """Changed-round count — the oracle unroll depth (extra unrolled rounds
     past the fixpoint are no-ops, same idempotence argument as k-core)."""
     return _ktruss_peel(edges, k)[1]
+
+
+def hits(edges: np.ndarray, iters: int = 3) -> dict[int, tuple[float, float]]:
+    """Kleinberg HITS, synchronous, L1-normalized, mirroring plans/hits.py:
+    auth from the previous hub along in-edges, hub from the CURRENT
+    normalized auth along out-edges. Duplicate edges deduped; self-loops
+    kept. Returns {vid: (auth, hub)}."""
+    e = np.unique(edges, axis=0)
+    dense, ids = _relabel(e)
+    n = len(ids)
+    src, dst = dense[:, 0], dense[:, 1]
+    auth = np.ones(n)
+    hub = np.ones(n)
+    for _ in range(iters):
+        a_raw = np.bincount(dst, weights=hub[src], minlength=n)
+        auth = a_raw / a_raw.sum()
+        h_raw = np.bincount(src, weights=auth[dst], minlength=n)
+        hub = h_raw / h_raw.sum()
+    return {int(v): (float(a), float(h)) for v, a, h in zip(ids, auth, hub)}

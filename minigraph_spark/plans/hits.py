@@ -1,0 +1,142 @@
+"""HITS (hubs and authorities) — the canonical link-analysis companion to
+PageRank (beyond the reference's app suite: no MiniGraph analog; added for
+the link-graph mandate, same slot as k-core/k-truss).
+
+Kleinberg's synchronous power iteration with L1 normalization:
+
+    auth'(v) = sum over in-edges (u, v)  of hub(u);  auth = auth' / ||auth'||_1
+    hub'(u)  = sum over out-edges (u, v) of auth(v); hub  = hub'  / ||hub'||_1
+
+(hub reads the CURRENT iteration's normalized auth — the standard update
+order; L1 rather than L2 so the oracle needs no sqrt and mass stays
+interpretable as a distribution.)
+
+Scale shape: inherently TWO shuffles per iteration (one per phase — each
+phase is a scatter join + a sum combine, exactly the superstep engine's
+per-iteration cost, doubled). The edge table is hash-partitioned ONCE per
+join side (by src for the auth phase, by dst for the hub phase) and both
+copies persist serialized, so each phase's scatter join is exchange-free on
+the E-row side and only the V-row state shuffles. Normalization totals are
+1-row broadcasts inside the plan (the dangling-mass device from
+plans/pagerank.py) — no driver collect in the loop. Lineage is truncated
+per iteration with an eager localCheckpoint + previous-round block free
+(see plans/ktruss.py for why plain persist degenerates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.partition import prepartition_edges
+from ..operators.superstep import free_rdd_ids, persistent_rdd_ids
+from ..session import iterative_confs
+
+
+@dataclass
+class HitsResult:
+    state: DataFrame  # (vid, auth, hub)
+    iterations: int
+    converged: bool
+
+
+def run_hits(
+    edges: DataFrame,
+    iters: int | None = 3,
+    tol: float | None = None,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> HitsResult:
+    """HITS over the directed simple edge set (duplicate edges are deduped;
+    self-loops kept — they are legitimate hub-to-own-authority mass and the
+    oracle pins the same rule).
+
+    Fixed-sweep mode (``iters``, the oracle face) runs exactly that many
+    iterations; convergence mode (``tol``) runs until
+    max(|Δauth|, |Δhub|) <= tol or max_iter.
+    """
+    if (iters is None) == (tol is None):
+        raise ValueError("pass exactly one of iters= or tol=")
+    spark = edges.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = edges.select("src", "dst").distinct()
+    with iterative_confs(spark):
+        fwd = prepartition_edges(e, n_part, by="src")
+        bwd = prepartition_edges(e, n_part, by="dst")
+    verts = (
+        fwd.select(F.col("src").alias("vid"))
+        .unionAll(fwd.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+
+    before = persistent_rdd_ids(spark)
+    st = verts.select(
+        "vid", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
+    ).localCheckpoint(eager=True)
+    st_ids = persistent_rdd_ids(spark) - before
+    if fwd.limit(1).count() == 0:  # edgeless: nothing to normalize against
+        return HitsResult(st, 0, True)
+
+    limit = iters if iters is not None else max_iter
+    it, converged = 0, False
+    for it in range(1, limit + 1):
+        a_raw = (
+            fwd.join(st.select(F.col("vid").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("_ta"))
+        auth = (
+            verts.join(a_raw.withColumnRenamed("dst", "vid"), "vid", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "vid",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("_ta")).alias(
+                    "auth"
+                ),
+            )
+        )
+        h_raw = (
+            bwd.join(auth.select(F.col("vid").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("_th"))
+        before = persistent_rdd_ids(spark)
+        nxt = (
+            auth.join(h_raw.withColumnRenamed("src", "vid"), "vid", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "vid",
+                "auth",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("_th")).alias(
+                    "hub"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        nxt_ids = persistent_rdd_ids(spark) - before
+        if tol is not None:
+            delta = (
+                st.withColumnsRenamed({"auth": "_pa", "hub": "_ph"})
+                .join(nxt, "vid")
+                .agg(
+                    F.max(
+                        F.greatest(
+                            F.abs(F.col("auth") - F.col("_pa")),
+                            F.abs(F.col("hub") - F.col("_ph")),
+                        )
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta <= tol:
+                converged = True
+        free_rdd_ids(spark, st_ids)
+        st, st_ids = nxt, nxt_ids
+        if converged:
+            break
+    return HitsResult(st, it, converged or iters is not None)

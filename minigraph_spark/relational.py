@@ -283,6 +283,45 @@ def _q_walks(spark, sf_dir):
     return deterministic_walks(mod_edges(spark, sf_dir), WALK_SEEDS, WALK_STEPS)
 
 
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled Kleinberg HITS with L1 normalization, mirroring
+    plans/hits.py term-for-term: auth from the PREVIOUS hub, hub from the
+    CURRENT normalized auth, both normalized by their L1 totals."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
+        "s0 AS MATERIALIZED (SELECT v, 1.0 AS auth, 1.0 AS hub FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+ar{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(s.hub) AS a
+        FROM edges e JOIN s{k-1} s ON s.v = e.src GROUP BY e.dst),
+at{k} AS MATERIALIZED (SELECT SUM(a) AS t FROM ar{k}),
+a{k} AS MATERIALIZED (SELECT v.v, COALESCE(ar.a, 0.0) / at{k}.t AS auth
+        FROM verts v CROSS JOIN at{k} LEFT JOIN ar{k} ar ON ar.v = v.v),
+hr{k} AS MATERIALIZED (SELECT e.src AS v, SUM(a.auth) AS h
+        FROM edges e JOIN a{k} a ON a.v = e.dst GROUP BY e.src),
+ht{k} AS MATERIALIZED (SELECT SUM(h) AS t FROM hr{k}),
+s{k} AS MATERIALIZED (SELECT a.v, a.auth, COALESCE(hr.h, 0.0) / ht{k}.t AS hub
+        FROM a{k} a CROSS JOIN ht{k} LEFT JOIN hr{k} hr ON hr.v = a.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return (
+        sql
+        + f"\nSELECT v AS vid, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub FROM s{iters}"
+    )
+
+
+def _q_hits3(spark, sf_dir):
+    """HITS hubs/authorities, 3 synchronous L1-normalized sweeps (no
+    reference analog — the canonical link-analysis companion to PageRank)."""
+    from .plans.hits import run_hits
+
+    res = run_hits(mod_edges(spark, sf_dir), iters=3)
+    return res.state.select(
+        "vid", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
 def _pagerank_minigraph3_sql(iters: int = 3, gamma: float = 0.01, eps: float = 0.001) -> str:
     parts = [
         f"WITH edges AS MATERIALIZED ({MOD_SQL}),",
@@ -1740,6 +1779,7 @@ QUERIES = {
     "adamic_adar_kc": _q_adamic_adar,
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
+    "hits3_mod": _q_hits3,
     "ppr3_mod": _q_ppr3,
     "walk4_mod": _q_walks,
     "pagerank_warm_mod": _q_pagerank_warm_mod,
@@ -1971,6 +2011,7 @@ _ORACLE_SQL_STATIC = {
       FROM und u JOIN deg ds ON ds.vid = u.src JOIN deg dd ON dd.vid = u.dst
     """,
     "pagerank3_mod": _pagerank3_sql(),
+    "hits3_mod": _hits_sql(),
     "ppr3_mod": _ppr3_sql(),
     "walk4_mod": _walk_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),

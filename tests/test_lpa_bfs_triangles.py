@@ -399,3 +399,34 @@ def test_ktruss_matches_numpy_oracle(spark):
     got = {(int(r["src"]), int(r["dst"]))
            for r in run_ktruss(big, k=4).collect()}
     assert got == oracle.ktruss_edges(arr, 4)
+
+
+def test_hits_matches_numpy_oracle(spark):
+    from minigraph_spark.plans.hits import run_hits
+
+    arr = make_rmat_edges_np(power=7, num_edges=800, seed=31)
+    res = run_hits(_spark_edges(spark, arr), iters=3)
+    got = {r["vid"]: (r["auth"], r["hub"]) for r in res.state.collect()}
+    want = oracle.hits(arr, iters=3)
+    assert set(got) == set(want)
+    for v, (a, h) in want.items():
+        assert abs(got[v][0] - a) < 1e-9 and abs(got[v][1] - h) < 1e-9
+    assert res.iterations == 3
+
+    # convergence mode reaches the (unique, for this graph) principal
+    # eigenvector vicinity: successive-sweep delta really is <= tol
+    res_c = run_hits(_spark_edges(spark, arr), iters=None, tol=1e-7)
+    assert res_c.converged and 3 < res_c.iterations <= 100
+
+
+def test_hits_empty_and_tiny(spark):
+    from minigraph_spark.plans.hits import run_hits
+
+    empty = _spark_edges(spark, np.empty((0, 2), dtype=np.int64))
+    res = run_hits(empty, iters=3)
+    assert res.state.count() == 0 and res.iterations == 0
+
+    # one edge: all mass on the one authority / the one hub
+    res1 = run_hits(_spark_edges(spark, np.array([[5, 9]])), iters=2)
+    got = {r["vid"]: (r["auth"], r["hub"]) for r in res1.state.collect()}
+    assert got == {5: (0.0, 1.0), 9: (1.0, 0.0)}
