@@ -391,3 +391,21 @@ def hits(edges: np.ndarray, iters: int = 3) -> dict[int, tuple[float, float]]:
         h_raw = np.bincount(src, weights=auth[dst], minlength=n)
         hub = h_raw / h_raw.sum()
     return {int(v): (float(a), float(h)) for v, a, h in zip(ids, auth, hub)}
+
+
+def scc_labels(edges: np.ndarray) -> dict[int, int]:
+    """SCC id per vertex = min vid of its strongly connected component.
+    Dense boolean reachability closure (repeated squaring) — O(n^3 log n)
+    bitwise, fine at fixture scale."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    reach = np.eye(n, dtype=bool)
+    reach[dense[:, 0], dense[:, 1]] = True
+    while True:
+        nxt = reach | (reach @ reach)
+        if (nxt == reach).all():
+            break
+        reach = nxt
+    mutual = reach & reach.T
+    scc = mutual.argmax(axis=1)  # first True per row = min dense id
+    return {int(ids[v]): int(ids[scc[v]]) for v in range(n)}

@@ -143,6 +143,9 @@ KC_MOD = 1000  # vertex space of the sparser k-core graph (mod graph's 200
 KC_K = 14      # peels 2 rounds / 974 survivors at sf0.01; empties at sf0.001
 KT_K = 4       # k-truss on the same kc graph: peels 3 rounds to an 18-edge
 # near-clique core at sf0.01; empties in 1 round at sf0.001
+SCC_MOD = 8000  # vertex space of the sparser SCC graph: at sf0.01 a real
+# bowtie (3023-vertex giant SCC + ~4970 components); denser spaces collapse
+# to one giant SCC and test nothing
 
 
 def kc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +163,45 @@ KC_SQL = f"""
   FROM events
   WHERE (event_id % {KC_MOD}) != ((event_id * 13 + user_id) % {KC_MOD})
 """
+
+
+def scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse deterministic digraph for the SCC query (see SCC_MOD)."""
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("event_id") % SCC_MOD).alias("src")
+    dst = ((F.col("event_id") * 13 + F.col("user_id")) % SCC_MOD).alias("dst")
+    return ev.select(src, dst).filter(F.col("src") != F.col("dst")).distinct()
+
+
+SCC_SQL = f"""
+  SELECT DISTINCT (event_id % {SCC_MOD}) AS src,
+                  ((event_id * 13 + user_id) % {SCC_MOD}) AS dst
+  FROM events
+  WHERE (event_id % {SCC_MOD}) != ((event_id * 13 + user_id) % {SCC_MOD})
+"""
+
+# SCC oracle: full transitive closure by recursive CTE (identity seeded, so
+# MIN over the mutual-reach set includes the vertex itself), then
+# scc_id(v) = MIN(u) with reach(v,u) AND reach(u,v) — the same canonical
+# min-member id plans/scc.py converges to. ~24 s in DuckDB at sf0.01.
+SCC_ORACLE_SQL = f"""
+WITH RECURSIVE e AS MATERIALIZED ({SCC_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+r AS (SELECT v AS a, v AS b FROM verts
+      UNION
+      SELECT r.a, e.dst AS b FROM r JOIN e ON e.src = r.b)
+SELECT p.a AS vid, MIN(p.b) AS scc_id
+FROM r p JOIN r q ON q.a = p.b AND q.b = p.a
+GROUP BY p.a
+"""
+
+
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (web bowtie decomposition; no
+    reference analog — MiniGraph ships undirected WCC only)."""
+    from .plans.scc import run_scc
+
+    return run_scc(scc_edges(spark, sf_dir))
 
 
 def snr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1780,6 +1822,7 @@ QUERIES = {
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
     "hits3_mod": _q_hits3,
+    "scc_kc": _q_scc,
     "ppr3_mod": _q_ppr3,
     "walk4_mod": _q_walks,
     "pagerank_warm_mod": _q_pagerank_warm_mod,
@@ -2012,6 +2055,7 @@ _ORACLE_SQL_STATIC = {
     """,
     "pagerank3_mod": _pagerank3_sql(),
     "hits3_mod": _hits_sql(),
+    "scc_kc": SCC_ORACLE_SQL,
     "ppr3_mod": _ppr3_sql(),
     "walk4_mod": _walk_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),

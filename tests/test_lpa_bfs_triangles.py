@@ -430,3 +430,27 @@ def test_hits_empty_and_tiny(spark):
     res1 = run_hits(_spark_edges(spark, np.array([[5, 9]])), iters=2)
     got = {r["vid"]: (r["auth"], r["hub"]) for r in res1.state.collect()}
     assert got == {5: (0.0, 1.0), 9: (1.0, 0.0)}
+
+
+def test_scc_matches_numpy_oracle(spark):
+    from minigraph_spark.plans.scc import run_scc
+
+    # two 2-cycles bridged by a DAG path, plus a pure chain (the coloring-
+    # SCC pathology — must resolve in ONE refinement round here)
+    e = np.array([[1, 2], [2, 1], [2, 3], [3, 4], [4, 3], [5, 6], [6, 7]])
+    got = {r["vid"]: r["scc_id"] for r in run_scc(_spark_edges(spark, e)).collect()}
+    assert got == oracle.scc_labels(e)
+
+    # self-loop-only vertex is its own singleton component
+    e2 = np.array([[9, 9], [1, 2]])
+    got2 = {r["vid"]: r["scc_id"] for r in run_scc(_spark_edges(spark, e2)).collect()}
+    assert got2 == {9: 9, 1: 1, 2: 2}
+
+
+def test_scc_rmat_matches_numpy_oracle(spark):
+    from minigraph_spark.plans.scc import run_scc
+
+    arr = make_rmat_edges_np(power=7, num_edges=1200, seed=17)
+    got = {int(r["vid"]): int(r["scc_id"])
+           for r in run_scc(_spark_edges(spark, arr)).collect()}
+    assert got == oracle.scc_labels(arr)
