@@ -1,7 +1,8 @@
 """Link prediction over the undirected simple closure — common-neighbor
-counts and Adamic-Adar scoring (link_graph-tier op; no reference app — the
-reference stops at structural counts, get_statistics.cpp:19-163, and the
-builder's brief mandates the analytics a link-graph user runs on top).
+counts, Adamic-Adar, resource-allocation, Jaccard, and preferential-
+attachment scoring (link_graph-tier op; no reference app — the reference
+stops at structural counts, get_statistics.cpp:19-163, and the builder's
+brief mandates the analytics a link-graph user runs on top).
 
 Scale shape: scoring fans each center vertex w out into its deg(w)^2/2
 candidate pairs (the classic wedge materialization — exactly what the
@@ -28,9 +29,10 @@ from .triangles import oriented_edges
 
 
 def _center_table(canon: DataFrame, max_center_degree: int | None) -> DataFrame:
-    """(w, n, wt): undirected adjacency with the center's Adamic-Adar weight
-    1/ln(deg(w)). Centers with deg < 2 close no pair and are dropped (also
-    keeps ln(1) = 0 out of the divisor)."""
+    """(w, n, wt, rwt): undirected adjacency with the center's Adamic-Adar
+    weight 1/ln(deg(w)) and resource-allocation weight 1/deg(w). Centers
+    with deg < 2 close no pair and are dropped (also keeps ln(1) = 0 out of
+    the divisor)."""
     und = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -39,21 +41,77 @@ def _center_table(canon: DataFrame, max_center_degree: int | None) -> DataFrame:
     if max_center_degree is not None:
         keep = keep.filter(F.col("deg") <= max_center_degree)
     return und.select(F.col("src").alias("w"), F.col("dst").alias("n")).join(
-        keep.select("w", (1.0 / F.log("deg")).alias("wt")), "w"
+        keep.select(
+            "w",
+            (1.0 / F.log("deg")).alias("wt"),
+            (1.0 / F.col("deg")).alias("rwt"),
+        ),
+        "w",
     )
 
 
 def _pair_partials(ctr: DataFrame) -> DataFrame:
-    """(u, v, cn, aa) partial sums from one center slice: the wedge self-join
-    through w, each unordered pair emitted once (n_low < n_high)."""
-    a = ctr.select("w", F.col("n").alias("u"), "wt")
+    """(u, v, cn, aa, ra) partial sums from one center slice: the wedge
+    self-join through w, each unordered pair emitted once (n_low < n_high)."""
+    a = ctr.select("w", F.col("n").alias("u"), "wt", "rwt")
     b = ctr.select("w", F.col("n").alias("v"))
     return (
         a.join(b, "w")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("cn"), F.sum("wt").alias("aa"))
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("wt").alias("aa"),
+            F.sum("rwt").alias("ra"),
+        )
     )
+
+
+def _scored_nonadjacent(
+    canon: DataFrame, center_buckets: int, max_center_degree: int | None
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(scored non-adjacent pairs (u, v, cn, aa, ra), persisted
+    intermediates for the caller to unpersist after materializing)."""
+    ctr = _center_table(canon, max_center_degree)
+    held: list[DataFrame] = []
+    if center_buckets > 1:
+        ctr = ctr.persist()
+        ctr.count()
+        held.append(ctr)
+        bucket = F.pmod(F.xxhash64("w"), F.lit(center_buckets))
+        partials = []
+        for bkt in range(center_buckets):
+            pb = _pair_partials(ctr.filter(bucket == bkt)).persist()
+            pb.count()  # sequential: one bucket's wedge join in flight
+            partials.append(pb)
+        held.extend(partials)
+        merged = partials[0]
+        for pb in partials[1:]:
+            merged = merged.unionAll(pb)
+        scored = merged.groupBy("u", "v").agg(
+            F.sum("cn").alias("cn"),
+            F.sum("aa").alias("aa"),
+            F.sum("ra").alias("ra"),
+        )
+    else:
+        scored = _pair_partials(ctr)
+    nonadj = scored.join(
+        canon,
+        (scored["u"] == canon["src"]) & (scored["v"] == canon["dst"]),
+        "left_anti",
+    )
+    return nonadj, held
+
+
+def _rank_top_k(out: DataFrame, order_col: str, top_k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k + driver merge, NOT a global sort; the row_number
+    # window then ranks only the k survivors.
+    out = out.orderBy(F.round(order_col, 6).desc(), "u", "v").limit(top_k)
+    w = Window.orderBy(F.round(order_col, 6).desc(), "u", "v")
+    return out.withColumn("rank", F.row_number().over(w))
 
 
 def adamic_adar(
@@ -71,44 +129,63 @@ def adamic_adar(
     scored pairs. Per-source top-k is a window away for callers that want
     recommendation lists instead of a global edge shortlist."""
     canon = oriented_edges(edges, by_degree=False, materialize=True)
-    ctr = _center_table(canon, max_center_degree)
-    if center_buckets > 1:
-        ctr = ctr.persist()
-        ctr.count()
-        bucket = F.pmod(F.xxhash64("w"), F.lit(center_buckets))
-        partials = []
-        for bkt in range(center_buckets):
-            pb = _pair_partials(ctr.filter(bucket == bkt)).persist()
-            pb.count()  # sequential: one bucket's wedge join in flight
-            partials.append(pb)
-        merged = partials[0]
-        for pb in partials[1:]:
-            merged = merged.unionAll(pb)
-        scored = merged.groupBy("u", "v").agg(
-            F.sum("cn").alias("cn"), F.sum("aa").alias("aa")
-        )
-    else:
-        scored = _pair_partials(ctr)
-    out = scored.join(canon, (scored["u"] == canon["src"]) & (scored["v"] == canon["dst"]),
-                      "left_anti").select(
+    nonadj, held = _scored_nonadjacent(canon, center_buckets, max_center_degree)
+    out = nonadj.select(
         "u", "v",
         F.col("cn").cast("long").alias("common_neighbors"),
         F.col("aa").alias("aa_score"),
     )
     if top_k is not None:
-        from pyspark.sql import Window
-
-        # orderBy().limit(k) compiles to TakeOrderedAndProject — a
-        # distributed per-partition top-k + driver merge, NOT a global sort;
-        # the row_number window then ranks only the k survivors.
-        out = out.orderBy(F.round("aa_score", 6).desc(), "u", "v").limit(top_k)
-        w = Window.orderBy(F.round("aa_score", 6).desc(), "u", "v")
-        out = out.withColumn("rank", F.row_number().over(w))
+        out = _rank_top_k(out, "aa_score", top_k)
     out = out.persist()
     out.count()
-    if center_buckets > 1:
-        for pb in partials:
-            pb.unpersist()
-        ctr.unpersist()
+    for df in held:
+        df.unpersist()
+    canon.unpersist()
+    return out
+
+
+def link_scores(
+    edges: DataFrame,
+    top_k: int | None = None,
+    center_buckets: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """The full classical link-prediction measure set per non-adjacent pair
+    (u < v, >= 1 common neighbor): common_neighbors, aa_score (Adamic-Adar),
+    ra_score (resource allocation, sum 1/deg(w)), jaccard
+    (cn / |N(u) ∪ N(v)|), pref_attachment (deg(u) * deg(v)).
+
+    One wedge pass covers cn/aa/ra; jaccard and preferential attachment
+    need only the two endpoint degrees — a V-row degree table joined twice,
+    broadcast-able at any realistic vertex count. top_k ranks by
+    (round(jaccard, 6) desc, u, v) — the degree-normalized measure, so hub
+    pairs don't monopolize the shortlist."""
+    canon = oriented_edges(edges, by_degree=False, materialize=True)
+    und = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nonadj, held = _scored_nonadjacent(canon, center_buckets, max_center_degree)
+    out = (
+        nonadj.join(deg.select(F.col("vid").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("vid").alias("v"), F.col("deg").alias("_dv")), "v")
+        .select(
+            "u", "v",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("aa").alias("aa_score"),
+            F.col("ra").alias("ra_score"),
+            (F.col("cn") / (F.col("_du") + F.col("_dv") - F.col("cn"))).alias("jaccard"),
+            (F.col("_du") * F.col("_dv")).cast("long").alias("pref_attachment"),
+        )
+    )
+    if top_k is not None:
+        out = _rank_top_k(out, "jaccard", top_k)
+    out = out.persist()
+    out.count()
+    for df in held:
+        df.unpersist()
     canon.unpersist()
     return out

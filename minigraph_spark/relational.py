@@ -1052,6 +1052,21 @@ def _q_transitivity(spark, sf_dir):
     )
 
 
+def _q_link_scores(spark, sf_dir):
+    """Full classical link-prediction measure set (cn/AA/RA/Jaccard/PA),
+    global top-50 by Jaccard, on the sparser kc graph."""
+    from .plans.linkpred import link_scores
+
+    ls = link_scores(kc_edges(spark, sf_dir), top_k=50)
+    return ls.select(
+        "u", "v", "common_neighbors",
+        F.round("aa_score", 6).alias("aa_score"),
+        F.round("ra_score", 6).alias("ra_score"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "pref_attachment", "rank",
+    )
+
+
 def _q_adamic_adar(spark, sf_dir):
     """Global top-50 Adamic-Adar link predictions on the sparser kc graph
     (the mod graph is near-complete at sf0.01 — nearly no non-adjacent
@@ -1819,6 +1834,7 @@ QUERIES = {
     "clustering_mod": _q_clustering,
     "transitivity_mod": _q_transitivity,
     "adamic_adar_kc": _q_adamic_adar,
+    "link_scores_kc": _q_link_scores,
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
     "hits3_mod": _q_hits3,
@@ -2024,6 +2040,30 @@ _ORACLE_SQL_STATIC = {
              ROUND(CASE WHEN wt.w > 0 THEN 3.0 * tc.t / wt.w ELSE 0.0 END, 6)
                AS transitivity
       FROM tc, wt
+    """,
+    "link_scores_kc": f"""
+      WITH edges AS ({KC_SQL}),
+      und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      ord_e AS (SELECT src, dst FROM und WHERE src < dst),
+      deg AS (SELECT src AS w, COUNT(*) AS deg FROM und GROUP BY src),
+      ctr AS (SELECT u.src AS w, u.dst AS n, 1.0 / LN(d.deg) AS wt,
+                     1.0 / d.deg AS rwt
+              FROM und u JOIN deg d ON d.w = u.src WHERE d.deg >= 2),
+      pairs AS (SELECT a.n AS u, b.n AS v, a.wt, a.rwt
+                FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n),
+      scored AS (SELECT u, v, COUNT(*) AS cn, SUM(wt) AS aa, SUM(rwt) AS ra
+                 FROM pairs GROUP BY u, v),
+      nonadj AS (SELECT s.* FROM scored s
+                 LEFT JOIN ord_e e ON e.src = s.u AND e.dst = s.v
+                 WHERE e.src IS NULL),
+      full_m AS (SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS common_neighbors,
+                        ROUND(n.aa, 6) AS aa_score, ROUND(n.ra, 6) AS ra_score,
+                        ROUND(CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn), 6) AS jaccard,
+                        CAST(du.deg * dv.deg AS BIGINT) AS pref_attachment
+                 FROM nonadj n JOIN deg du ON du.w = n.u JOIN deg dv ON dv.w = n.v),
+      ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY jaccard DESC, u, v)
+                                AS INTEGER) AS rank FROM full_m)
+      SELECT * FROM ranked WHERE rank <= 50
     """,
     "adamic_adar_kc": f"""
       WITH edges AS ({KC_SQL}),
