@@ -1,0 +1,75 @@
+"""Landmark (multi-source) BFS distances and harmonic centrality
+(link_graph-tier op; no reference app — MiniGraph ships single-root BFS
+only, apps/cpp/bfs_vc.cpp. Exact all-pairs harmonic centrality is O(V·E)
+and off the table at web scale; the landmark estimate — sum of reciprocal
+distances from a small probe set — is the standard production stand-in,
+e.g. for crawl-frontier prioritization).
+
+Scale shape: one SuperstepEngine prepartition amortized across ALL seeds
+(the engine-reuse contract from run_pagerank/run_bfs); each seed is a
+frontier BFS, O(diameter) supersteps, one E-row scatter + V-row combine
+per superstep. Seeds run sequentially — k landmark BFS's cost ~k times one
+BFS, not k times the prepartition. The distance union is V·k rows, tiny
+next to E.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.superstep import SuperstepEngine
+from .bfs import run_bfs
+
+
+def landmark_distances(
+    edges: DataFrame,
+    seeds: list[int],
+    engine: SuperstepEngine | None = None,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """(vid, seed, dist) for every vertex REACHABLE from each seed (the
+    seed itself included at dist 0); unreachable pairs are absent. Directed
+    distances along edge direction — symmetrize first for undirected."""
+    if len(set(seeds)) != len(seeds) or not seeds:
+        raise ValueError("seeds must be non-empty and duplicate-free")
+    eng = engine or SuperstepEngine(edges.select("src", "dst"))
+    parts = []
+    for s in seeds:
+        st = run_bfs(edges, root=s, engine=eng, max_iter=max_iter).state
+        parts.append(
+            st.filter(F.col("value").isNotNull()).select(
+                "vid",
+                F.lit(s).cast("long").alias("seed"),
+                F.col("value").alias("dist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out = out.persist()
+    out.count()
+    if engine is None:
+        eng.close()
+    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: list[int],
+    engine: SuperstepEngine | None = None,
+) -> DataFrame:
+    """(vid, harmonic): landmark-estimated harmonic centrality — the sum of
+    1/d(seed, vid) over seeds that reach vid (self-distances excluded, the
+    textbook convention). Exact over the probe set; an unbiased sample of
+    the true harmonic centrality when seeds are drawn uniformly."""
+    d = landmark_distances(edges, seeds, engine=engine)
+    out = (
+        d.filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(F.sum(1.0 / F.col("dist")).alias("harmonic"))
+    )
+    out = out.persist()
+    out.count()
+    d.unpersist()
+    return out

@@ -1052,6 +1052,34 @@ def _q_transitivity(spark, sf_dir):
     )
 
 
+HARMONIC_SEEDS = [0, 7, 101]  # present in the kc graph at every driver sf
+
+
+def _q_harmonic(spark, sf_dir):
+    """Landmark harmonic centrality (3-probe estimate) on the kc graph."""
+    from .plans.centrality import harmonic_centrality
+
+    h = harmonic_centrality(kc_edges(spark, sf_dir), HARMONIC_SEEDS)
+    return h.select("vid", F.round("harmonic", 6).alias("harmonic"))
+
+
+def _harmonic_sql(seeds: list[int] = HARMONIC_SEEDS, max_d: int = 250) -> str:
+    vals = ",".join(f"({s})" for s in seeds)
+    return f"""
+WITH RECURSIVE
+edges AS ({KC_SQL}),
+seeds(s) AS (VALUES {vals}),
+walk(s, v, d) AS (
+  SELECT s, CAST(s AS BIGINT), CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < {max_d}
+),
+dist AS (SELECT s, v, MIN(d) AS dist FROM walk GROUP BY s, v)
+SELECT v AS vid, ROUND(SUM(1.0 / dist), 6) AS harmonic
+FROM dist WHERE dist > 0 GROUP BY v
+"""
+
+
 def _q_link_scores(spark, sf_dir):
     """Full classical link-prediction measure set (cn/AA/RA/Jaccard/PA),
     global top-50 by Jaccard, on the sparser kc graph."""
@@ -1835,6 +1863,7 @@ QUERIES = {
     "transitivity_mod": _q_transitivity,
     "adamic_adar_kc": _q_adamic_adar,
     "link_scores_kc": _q_link_scores,
+    "harmonic_kc": _q_harmonic,
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
     "hits3_mod": _q_hits3,
@@ -2096,6 +2125,7 @@ _ORACLE_SQL_STATIC = {
     "pagerank3_mod": _pagerank3_sql(),
     "hits3_mod": _hits_sql(),
     "scc_kc": SCC_ORACLE_SQL,
+    "harmonic_kc": _harmonic_sql(),
     "ppr3_mod": _ppr3_sql(),
     "walk4_mod": _walk_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),

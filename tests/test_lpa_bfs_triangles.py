@@ -454,3 +454,26 @@ def test_scc_rmat_matches_numpy_oracle(spark):
     got = {int(r["vid"]): int(r["scc_id"])
            for r in run_scc(_spark_edges(spark, arr)).collect()}
     assert got == oracle.scc_labels(arr)
+
+
+def test_harmonic_centrality_matches_numpy(spark):
+    from minigraph_spark.plans.centrality import harmonic_centrality, landmark_distances
+
+    arr = make_rmat_edges_np(power=6, num_edges=300, seed=11)
+    seeds = [int(arr[0, 0]), int(arr[5, 1]), int(arr[9, 0])]
+    seeds = list(dict.fromkeys(seeds))[:3]
+    got = {r["vid"]: r["harmonic"]
+           for r in harmonic_centrality(_spark_edges(spark, arr), seeds).collect()}
+    want: dict[int, float] = {}
+    for s in seeds:
+        for v, d in oracle.bfs_dist(arr, s).items():
+            if d > 0:
+                want[v] = want.get(v, 0.0) + 1.0 / d
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+    # distance face: seed rows at dist 0, unreachable absent
+    d = landmark_distances(_spark_edges(spark, arr), seeds[:1])
+    row0 = d.filter((d.vid == seeds[0]) & (d.seed == seeds[0])).collect()
+    assert len(row0) == 1 and row0[0]["dist"] == 0
