@@ -409,3 +409,48 @@ def scc_labels(edges: np.ndarray) -> dict[int, int]:
     mutual = reach & reach.T
     scc = mutual.argmax(axis=1)  # first True per row = min dense id
     return {int(ids[v]): int(ids[scc[v]]) for v in range(n)}
+
+
+def anf_estimates_exact(edges: np.ndarray, depth: int = 3) -> dict[int, float]:
+    """Exact-ball HLL estimates mirroring plans/anf.py bit-for-bit: the
+    ball {u : dist(v,u) <= depth} computed exactly (BFS), then the same
+    md5-derived registers and estimator arithmetic."""
+    import hashlib
+
+    M, ALPHA_M, RHO_CAP = 16, 0.673, 57
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in dense:
+        adj[a].append(b)
+
+    def h63(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+
+    jr = []
+    for v in range(n):
+        h = h63(int(ids[v]))
+        w = h >> 4
+        rho = RHO_CAP if w == 0 else ((w & -w).bit_length())
+        jr.append((h % M, rho))
+
+    out = {}
+    for v in range(n):
+        ball = {v}
+        frontier = {v}
+        for _ in range(depth):
+            nxt = {b for a in frontier for b in adj[a]} - ball
+            if not nxt:
+                break
+            ball |= nxt
+            frontier = nxt
+        reg = [0] * M
+        for u in ball:
+            j, rho = jr[u]
+            reg[j] = max(reg[j], rho)
+        s = sum(2.0 ** -r for r in reg)
+        zeros = sum(1 for r in reg if r == 0)
+        raw = ALPHA_M * M * M / s
+        est = M * np.log(M / zeros) if (raw <= 2.5 * M and zeros > 0) else raw
+        out[int(ids[v])] = float(est)
+    return out

@@ -1080,6 +1080,52 @@ FROM dist WHERE dist > 0 GROUP BY v
 """
 
 
+def _q_anf(spark, sf_dir):
+    """HyperBall-style approximate neighborhood function at depth 3 on the
+    kc graph — per-vertex HLL ball-cardinality estimates, register-exact
+    vs the closure-derived oracle."""
+    from .plans.anf import anf_estimates, run_anf
+
+    res = run_anf(kc_edges(spark, sf_dir), depth=3)
+    return anf_estimates(res.state).select(
+        "vid", F.round("est", 6).alias("anf3")
+    )
+
+
+def _anf_sql(depth: int = 3) -> str:
+    """Exact bounded-depth closure -> the SAME md5-derived HLL registers
+    and estimator as plans/anf.py (see its module docstring: 2^-rho sums
+    are exact powers of two, so the arithmetic is bit-identical)."""
+    from .functions.hashing import md5_int63_sql
+
+    h = md5_int63_sql("CAST(v AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+edges AS ({KC_SQL}),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+walk(a, b, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.b WHERE w.d < {depth}
+),
+hx AS (SELECT v, {h} AS hv FROM verts),
+items AS (SELECT r.a AS v, (hx.hv % 16) AS j,
+                 CASE WHEN (hx.hv >> 4) = 0 THEN 57
+                      ELSE 1 + CAST(floor(log2(CAST((hx.hv >> 4) & (-(hx.hv >> 4)) AS DOUBLE))) AS INT)
+                 END AS rho
+          FROM (SELECT DISTINCT a, b FROM walk) r JOIN hx ON hx.v = r.b),
+regs AS (SELECT v, j, MAX(rho) AS r FROM items GROUP BY v, j),
+sums AS (SELECT v, SUM(POWER(2.0, -r)) + (16 - COUNT(*)) AS s,
+                16 - COUNT(*) AS zeros
+         FROM regs GROUP BY v),
+est AS (SELECT v, CASE WHEN (0.673 * 256 / s) <= 40.0 AND zeros > 0
+                       THEN 16.0 * LN(16.0 / zeros)
+                       ELSE 0.673 * 256 / s END AS e
+        FROM sums)
+SELECT v AS vid, ROUND(e, 6) AS anf3 FROM est
+"""
+
+
 def _q_link_scores(spark, sf_dir):
     """Full classical link-prediction measure set (cn/AA/RA/Jaccard/PA),
     global top-50 by Jaccard, on the sparser kc graph."""
@@ -1864,6 +1910,7 @@ QUERIES = {
     "adamic_adar_kc": _q_adamic_adar,
     "link_scores_kc": _q_link_scores,
     "harmonic_kc": _q_harmonic,
+    "anf3_kc": _q_anf,
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
     "hits3_mod": _q_hits3,
@@ -2126,6 +2173,7 @@ _ORACLE_SQL_STATIC = {
     "hits3_mod": _hits_sql(),
     "scc_kc": SCC_ORACLE_SQL,
     "harmonic_kc": _harmonic_sql(),
+    "anf3_kc": _anf_sql(),
     "ppr3_mod": _ppr3_sql(),
     "walk4_mod": _walk_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),

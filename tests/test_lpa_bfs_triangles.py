@@ -477,3 +477,15 @@ def test_harmonic_centrality_matches_numpy(spark):
     d = landmark_distances(_spark_edges(spark, arr), seeds[:1])
     row0 = d.filter((d.vid == seeds[0]) & (d.seed == seeds[0])).collect()
     assert len(row0) == 1 and row0[0]["dist"] == 0
+
+
+def test_anf_matches_exact_ball_oracle(spark):
+    from minigraph_spark.plans.anf import anf_estimates, run_anf
+
+    arr = make_rmat_edges_np(power=6, num_edges=400, seed=13)
+    res = run_anf(_spark_edges(spark, arr), depth=3)
+    got = {r["vid"]: r["est"] for r in anf_estimates(res.state).collect()}
+    want = oracle.anf_estimates_exact(arr, depth=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
