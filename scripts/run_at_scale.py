@@ -9,6 +9,8 @@ scale evidence with one command per row:
     python scripts/run_at_scale.py --algo wcc       --power 27 --edges 1000000000
     python scripts/run_at_scale.py --algo lpa       --power 27 --edges 1000000000
     python scripts/run_at_scale.py --algo tri       --power 25 --edges 256000000 --buckets 4
+    python scripts/run_at_scale.py --algo scc       --power 23 --edges 64000000
+    python scripts/run_at_scale.py --algo anf       --power 23 --edges 64000000 --depth 3
     python scripts/run_at_scale.py --algo wedges    --power 25 --edges 256000000
 
 Every run: ensures the seeded R-MAT fixture (generated if absent, ~100 s
@@ -27,6 +29,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from minigraph_spark.fixtures import ensure_rmat_parquet  # noqa: E402
 
@@ -142,6 +146,50 @@ def run_kcore_scale(args) -> None:
     spark.stop()
 
 
+def run_scc_scale(args) -> None:
+    from minigraph_spark.plans.scc import run_scc
+
+    spark = _spark(f"scc_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; {_load()}", flush=True)
+    t0 = time.time()
+    comps = run_scc(rmat)
+    wall = time.time() - t0
+    t0 = time.time()
+    stats = comps.groupBy("scc_id").count().agg(
+        F.count("*").alias("n_scc"), F.max("count").alias("giant")
+    ).collect()[0]
+    print(
+        f"scc: {stats['n_scc']} components, giant {stats['giant']} in "
+        f"{wall:.0f}s (+{time.time() - t0:.0f}s stats); {_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
+def run_anf_scale(args) -> None:
+    from minigraph_spark.plans.anf import anf_estimates, run_anf
+
+    spark = _spark(f"anf_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; depth {args.depth}; {_load()}", flush=True)
+    t0 = time.time()
+    r = run_anf(rmat, depth=args.depth)
+    _iter_report(n, r.metrics, time.time() - t0, f"anf depth {args.depth}")
+    t0 = time.time()
+    row = anf_estimates(r.state).agg(
+        F.sum("est").alias("nf"), F.max("est").alias("max_ball")
+    ).collect()[0]
+    print(
+        f"N({args.depth}) = {row['nf']:.3e} (sum of ball estimates), max ball "
+        f"{row['max_ball']:.3e} (agg {time.time() - t0:.0f}s); {_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
 def run_wedges(args) -> None:
     import duckdb
 
@@ -174,7 +222,8 @@ FROM od
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--algo", required=True,
-                    choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "kcore", "wedges"])
+                    choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "kcore", "scc",
+                             "anf", "wedges"])
     ap.add_argument("--power", type=int, default=25)
     ap.add_argument("--edges", type=int, default=256_000_000)
     ap.add_argument("--seed", type=int, default=42)
@@ -184,6 +233,7 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=1,
                     help="tri: src-hash chunks bounding peak spill to ~1/B")
     ap.add_argument("--k", type=int, default=10, help="kcore: the core order")
+    ap.add_argument("--depth", type=int, default=3, help="anf: ball radius")
     ap.add_argument("--zstd", action="store_true",
                     help="zstd shuffle/spill compression (~1.5-2x smaller on id "
                          "data than lz4; tri/kcore always use it) — use when a "
@@ -201,6 +251,8 @@ def main() -> None:
         "lpa": run_lpa_scale,
         "tri": run_tri,
         "kcore": run_kcore_scale,
+        "scc": run_scc_scale,
+        "anf": run_anf_scale,
         "wedges": run_wedges,
     }[args.algo](args)
 
