@@ -178,6 +178,17 @@ def main() -> None:
 
     timed("wcc_rmat", lambda: run_wcc(rmat).iterations)
     clear_storage(spark)
+
+    # round-3 link-analysis additions on the same headline graph: HITS
+    # (two combine shuffles per sweep — the expected ~2x PageRank cost) and
+    # the HyperBall neighborhood sketch (16-register HLL state per vertex)
+    from minigraph_spark.plans.anf import run_anf
+    from minigraph_spark.plans.hits import run_hits
+
+    timed("hits3_rmat", lambda: run_hits(rmat, iters=3).iterations)
+    clear_storage(spark)
+    timed("anf3_rmat", lambda: run_anf(rmat, depth=3).iterations)
+    clear_storage(spark)
     tri_graph = (
         rmat
         if (TRI_POWER, TRI_EDGES) == (RMAT_POWER, RMAT_EDGES)
