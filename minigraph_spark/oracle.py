@@ -454,3 +454,17 @@ def anf_estimates_exact(edges: np.ndarray, depth: int = 3) -> dict[int, float]:
         est = M * np.log(M / zeros) if (raw <= 2.5 * M and zeros > 0) else raw
         out[int(ids[v])] = float(est)
     return out
+
+
+def nf_curve_exact(edges: np.ndarray, max_depth: int = 4) -> list[tuple[int, float]]:
+    """[(d, NF(d))] mirroring plans/anf.neighborhood_function: exact-ball
+    per-vertex HLL estimates (anf_estimates_exact), rounded to 6 dp,
+    summed exactly (Decimal), rounded to 6 dp."""
+    from decimal import Decimal
+
+    out = []
+    for d in range(1, max_depth + 1):
+        ests = anf_estimates_exact(edges, depth=d)
+        tot = sum(Decimal(f"{e:.6f}") for e in ests.values())
+        out.append((d, float(round(float(tot), 6))))
+    return out

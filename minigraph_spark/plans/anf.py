@@ -54,6 +54,35 @@ def _vid_registers(vid_col: Column) -> Column:
     )
 
 
+def _scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+    return e.join(
+        state.select(F.col("vid").alias("src"), "value"), "src"
+    ).select("dst", F.col("value").alias("msg"))
+
+
+def _combine(msgs: DataFrame) -> DataFrame:
+    return msgs.groupBy("dst").agg(
+        F.array(
+            *[F.max(F.element_at(F.col("msg"), i + 1)) for i in range(M)]
+        ).alias("agg")
+    )
+
+
+def _apply(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+    merged = F.zip_with(
+        "value", F.coalesce(F.col("agg"), F.col("value")),
+        lambda a, b: F.greatest(a, b),
+    )
+    return (
+        state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+        .select(
+            "vid",
+            merged.alias("value"),
+            (merged != F.col("value")).alias("active"),
+        )
+    )
+
+
 def run_anf(
     edges: DataFrame,
     depth: int = 3,
@@ -71,35 +100,8 @@ def run_anf(
         "vid", _vid_registers(F.col("vid")).alias("value"),
         F.lit(True).alias("active"),
     )
-
-    def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-        return e.join(
-            state.select(F.col("vid").alias("src"), "value"), "src"
-        ).select("dst", F.col("value").alias("msg"))
-
-    def combine(msgs: DataFrame) -> DataFrame:
-        return msgs.groupBy("dst").agg(
-            F.array(
-                *[F.max(F.element_at(F.col("msg"), i + 1)) for i in range(M)]
-            ).alias("agg")
-        )
-
-    def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-        merged = F.zip_with(
-            "value", F.coalesce(F.col("agg"), F.col("value")),
-            lambda a, b: F.greatest(a, b),
-        )
-        return (
-            state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-            .select(
-                "vid",
-                merged.alias("value"),
-                (merged != F.col("value")).alias("active"),
-            )
-        )
-
     res = eng.run(
-        init, scatter=scatter, combiner=combine, apply_fn=apply_fn,
+        init, scatter=_scatter, combiner=_combine, apply_fn=_apply,
         frontier=True, max_iter=depth, algo="anf",
     )
     if engine is None:
@@ -107,12 +109,12 @@ def run_anf(
     return res
 
 
-def anf_estimates(state: DataFrame) -> DataFrame:
-    """(vid, est): the HLL cardinality estimate of each sketch — raw
+def est_expr(value_col: Column) -> Column:
+    """The HLL cardinality estimate of one sketch column — raw
     harmonic-mean estimator with the standard small-range linear-counting
     correction (est <= 2.5m with empty registers). All built-in float ops,
     mirrored term-for-term by the SQL oracle."""
-    reg = [F.element_at(F.col("value"), i + 1) for i in range(M)]
+    reg = [F.element_at(value_col, i + 1) for i in range(M)]
     s = F.lit(0.0)
     for r in reg:
         s = s + F.pow(F.lit(2.0), -r.cast("double"))
@@ -120,8 +122,80 @@ def anf_estimates(state: DataFrame) -> DataFrame:
     for r in reg:
         zeros = zeros + F.when(r == 0, 1).otherwise(0)
     raw = F.lit(ALPHA_M * M * M) / s
-    est = F.when(
+    return F.when(
         (raw <= F.lit(2.5 * M)) & (zeros > 0),
         F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
     ).otherwise(raw)
-    return state.select("vid", est.alias("est"))
+
+
+def anf_estimates(state: DataFrame) -> DataFrame:
+    """(vid, est) — see est_expr."""
+    return state.select("vid", est_expr(F.col("value")).alias("est"))
+
+
+def neighborhood_function(
+    edges: DataFrame, max_depth: int = 4, engine: SuperstepEngine | None = None
+) -> list[tuple[int, float]]:
+    """[(d, NF(d))] for d = 1..max_depth: the estimated number of REACHABLE
+    (ordered) pairs within distance d — sum of per-vertex ball estimates.
+
+    Runs ONE sketch state through max_depth single-round engine windows
+    (delta frontier preserved across calls — the state's `active` flags
+    carry over), reading one scalar per depth. The per-vertex estimates are
+    rounded to 6 dp and summed in DECIMAL so the total is order-independent
+    and bit-identical to the SQL oracle. Once the frontier empties the ball
+    equals the exact closure and the curve goes flat; remaining depths
+    reuse the scalar without more Spark jobs.
+
+    A caller-passed ``engine`` must be over the REVERSED edges (run_anf)."""
+    eng = engine or SuperstepEngine(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    state = eng.vertices().select(
+        "vid", _vid_registers(F.col("vid")).alias("value"),
+        F.lit(True).alias("active"),
+    )
+    nf_col = F.round(
+        F.sum(F.round(est_expr(F.col("value")), 6).cast("decimal(18,6)"))
+        .cast("double"),
+        6,
+    ).alias("nf")
+    curve: list[tuple[int, float]] = []
+    done = False
+    nf = float("nan")
+    for d in range(1, max_depth + 1):
+        if not done:
+            res = eng.run(
+                state, scatter=_scatter, combiner=_combine, apply_fn=_apply,
+                frontier=True, max_iter=1, algo="anf_curve",
+            )
+            state = res.state
+            nf = state.agg(nf_col).collect()[0]["nf"]
+            if res.metrics and res.metrics[-1].num_changed == 0:
+                done = True
+        curve.append((d, nf))
+    if engine is None:
+        eng.close()
+    return curve
+
+
+def effective_diameter(
+    edges: DataFrame, q: float = 0.9, max_depth: int = 16
+) -> float:
+    """Smallest d with NF(d) >= q * NF(max_depth), linearly interpolated
+    between the bracketing depths (the standard HyperBall/ANF effective-
+    diameter convention). max_depth is the closure horizon: on graphs whose
+    sketch frontier empties before max_depth the reference mass is the full
+    transitive closure and the figure is the true (estimated) q-effective
+    diameter."""
+    curve = neighborhood_function(edges, max_depth=max_depth)
+    target = q * curve[-1][1]
+    prev_d, prev_nf = 0, 0.0
+    for d, nf in curve:
+        if nf >= target:
+            if nf == prev_nf:
+                return float(d)
+            frac = (target - prev_nf) / (nf - prev_nf)
+            return prev_d + frac * (d - prev_d)
+        prev_d, prev_nf = d, nf
+    return float(curve[-1][0])

@@ -1126,6 +1126,58 @@ SELECT v AS vid, ROUND(e, 6) AS anf3 FROM est
 """
 
 
+NF_CURVE_DEPTH = 4
+
+
+def _q_nf_curve(spark, sf_dir):
+    """Neighborhood-function curve NF(d), d = 1..4, on the kc graph —
+    the effective-diameter input (HyperBall's deliverable). Per-vertex
+    estimates round to 6 dp and sum in DECIMAL, so the totals are
+    order-independent and bit-identical to the oracle."""
+    from .plans.anf import neighborhood_function
+
+    curve = neighborhood_function(kc_edges(spark, sf_dir), NF_CURVE_DEPTH)
+    return spark.createDataFrame(curve, "d int, nf double")
+
+
+def _nf_curve_sql(max_depth: int = NF_CURVE_DEPTH) -> str:
+    from .functions.hashing import md5_int63_sql
+
+    h = md5_int63_sql("CAST(v AS VARCHAR)")
+    parts = [f"""
+WITH RECURSIVE
+edges AS ({KC_SQL}),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+walk(a, b, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.b WHERE w.d < {max_depth}
+),
+mind AS (SELECT a, b, MIN(d) AS md FROM walk GROUP BY a, b),
+hx AS (SELECT v, {h} AS hv FROM verts),
+items AS (SELECT m.a AS v, m.md, (hx.hv % 16) AS j,
+                 CASE WHEN (hx.hv >> 4) = 0 THEN 57
+                      ELSE 1 + CAST(floor(log2(CAST((hx.hv >> 4) & (-(hx.hv >> 4)) AS DOUBLE))) AS INT)
+                 END AS rho
+          FROM mind m JOIN hx ON hx.v = m.b),"""]
+    for dd in range(1, max_depth + 1):
+        parts.append(f"""
+regs{dd} AS (SELECT v, j, MAX(rho) AS r FROM items WHERE md <= {dd} GROUP BY v, j),
+sums{dd} AS (SELECT v, SUM(POWER(2.0, -r)) + (16 - COUNT(*)) AS s,
+                    16 - COUNT(*) AS zeros FROM regs{dd} GROUP BY v),
+est{dd} AS (SELECT CASE WHEN (0.673 * 256 / s) <= 40.0 AND zeros > 0
+                        THEN 16.0 * LN(16.0 / zeros)
+                        ELSE 0.673 * 256 / s END AS e FROM sums{dd}),
+tot{dd} AS (SELECT {dd} AS d,
+                   ROUND(CAST(SUM(CAST(ROUND(e, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS nf
+            FROM est{dd}),""")
+    body = "".join(parts).rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT d, nf FROM tot{dd}" for dd in range(1, max_depth + 1)
+    )
+    return body + "\n" + union
+
+
 def _q_link_scores(spark, sf_dir):
     """Full classical link-prediction measure set (cn/AA/RA/Jaccard/PA),
     global top-50 by Jaccard, on the sparser kc graph."""
@@ -1911,6 +1963,7 @@ QUERIES = {
     "link_scores_kc": _q_link_scores,
     "harmonic_kc": _q_harmonic,
     "anf3_kc": _q_anf,
+    "nf_curve_kc": _q_nf_curve,
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
     "hits3_mod": _q_hits3,
@@ -2174,6 +2227,7 @@ _ORACLE_SQL_STATIC = {
     "scc_kc": SCC_ORACLE_SQL,
     "harmonic_kc": _harmonic_sql(),
     "anf3_kc": _anf_sql(),
+    "nf_curve_kc": _nf_curve_sql(),
     "ppr3_mod": _ppr3_sql(),
     "walk4_mod": _walk_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),

@@ -489,3 +489,18 @@ def test_anf_matches_exact_ball_oracle(spark):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_nf_curve_and_effective_diameter(spark):
+    from minigraph_spark.plans.anf import effective_diameter, neighborhood_function
+
+    arr = make_rmat_edges_np(power=6, num_edges=400, seed=13)
+    got = neighborhood_function(_spark_edges(spark, arr), max_depth=4)
+    want = oracle.nf_curve_exact(arr, max_depth=4)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert abs(g - w) < 1e-9, (got, want)
+
+    # effective diameter lands inside the probed horizon and interpolates
+    ed = effective_diameter(_spark_edges(spark, arr), q=0.9, max_depth=6)
+    assert 0 < ed <= 6
