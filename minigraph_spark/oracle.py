@@ -468,3 +468,46 @@ def nf_curve_exact(edges: np.ndarray, max_depth: int = 4) -> list[tuple[int, flo
         tot = sum(Decimal(f"{e:.6f}") for e in ests.values())
         out.append((d, float(round(float(tot), 6))))
     return out
+
+
+def landmark_betweenness(edges: np.ndarray, seeds: list[int]) -> dict[int, float]:
+    """Directed Brandes dependencies accumulated over the probe sources —
+    mirrors plans/betweenness.py (vertices with zero accumulated
+    dependency are omitted, matching the Spark output's inner joins)."""
+    from collections import deque
+
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in dense:
+        adj[a].append(b)
+    id_of = {int(v): i for i, v in enumerate(ids)}
+    acc = np.zeros(n)
+    covered: set[int] = set()  # union of dist>=1 reach sets = output rows
+    for s_raw in seeds:
+        if s_raw not in id_of:
+            continue
+        s = id_of[s_raw]
+        dist = np.full(n, -1)
+        sigma = np.zeros(n)
+        dist[s], sigma[s] = 0, 1.0
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = np.zeros(n)
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if u != s:
+                acc[u] += delta[u]
+                covered.add(u)
+    return {int(ids[v]): float(acc[v]) for v in range(n) if v in covered}

@@ -1126,6 +1126,74 @@ SELECT v AS vid, ROUND(e, 6) AS anf3 FROM est
 """
 
 
+def _q_betweenness(spark, sf_dir):
+    """Landmark betweenness (sampled Brandes, 3 probe sources) on the kc
+    graph."""
+    from .plans.betweenness import landmark_betweenness
+
+    b = landmark_betweenness(kc_edges(spark, sf_dir), HARMONIC_SEEDS)
+    return b.select("vid", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _betweenness_sql_for(seed_maxd: list[tuple[int, int]]) -> str:
+    """Unrolled per-source Brandes: recursive-CTE BFS levels, then
+    (derived-depth) layered sigma forward and delta backward sweeps —
+    exactly plans/betweenness.py's joins in SQL. seed_maxd carries each
+    probe's NumPy-derived eccentricity (the layer count)."""
+    parts = [f"WITH RECURSIVE\nedges AS MATERIALIZED ({KC_SQL}),"]
+    pieces = []
+    for s, maxd in seed_maxd:
+        if maxd < 1:
+            continue
+        parts.append(f"""
+walk{s}(v, d) AS (
+  SELECT CAST({s} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk{s} w JOIN edges e ON e.src = w.v WHERE w.d < {maxd}),
+dist{s} AS MATERIALIZED (SELECT v, MIN(d) AS dist FROM walk{s} GROUP BY v),
+sig{s}_0 AS (SELECT CAST({s} AS BIGINT) AS v, CAST(1 AS DOUBLE) AS sigma),""")
+        for d in range(1, maxd + 1):
+            parts.append(f"""
+sig{s}_{d} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.sigma) AS sigma
+  FROM sig{s}_{d-1} p JOIN edges e ON e.src = p.v
+  JOIN dist{s} dd ON dd.v = e.dst AND dd.dist = {d}
+  GROUP BY e.dst),""")
+        parts.append(
+            f"\ndel{s}_{maxd} AS (SELECT v, 0.0 AS delta FROM sig{s}_{maxd}),"
+        )
+        for d in range(maxd - 1, 0, -1):
+            parts.append(f"""
+c{s}_{d} AS (SELECT e.src AS v, SUM(ls.sigma / lw.sigma * (1 + dw.delta)) AS x
+  FROM edges e
+  JOIN sig{s}_{d} ls ON ls.v = e.src
+  JOIN sig{s}_{d+1} lw ON lw.v = e.dst
+  JOIN del{s}_{d+1} dw ON dw.v = e.dst
+  GROUP BY e.src),
+del{s}_{d} AS MATERIALIZED (SELECT l.v, COALESCE(c.x, 0.0) AS delta
+  FROM sig{s}_{d} l LEFT JOIN c{s}_{d} c ON c.v = l.v),""")
+        pieces.extend(f"SELECT v, delta FROM del{s}_{d}" for d in range(1, maxd + 1))
+    body = "".join(parts).rstrip(",")
+    union = "\nUNION ALL\n".join(pieces)
+    return (
+        body
+        + f"\nSELECT v AS vid, ROUND(SUM(delta), 6) AS betweenness FROM (\n{union}\n) GROUP BY v"
+    )
+
+
+@functools.cache
+def betweenness_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
+    """Landmark-betweenness oracle with per-source layer counts DERIVED
+    from the input (no measured constants — same rule as kcore/ktruss)."""
+    from .oracle import bfs_dist
+
+    arr = _kc_edges_np(sf_dir)
+    seed_maxd = []
+    for s in HARMONIC_SEEDS:
+        dd = bfs_dist(arr, s)
+        seed_maxd.append((s, max(dd.values()) if dd else 0))
+    return _betweenness_sql_for(tuple(seed_maxd))
+
+
 NF_CURVE_DEPTH = 4
 
 
@@ -1962,6 +2030,7 @@ QUERIES = {
     "adamic_adar_kc": _q_adamic_adar,
     "link_scores_kc": _q_link_scores,
     "harmonic_kc": _q_harmonic,
+    "betweenness_kc": _q_betweenness,
     "anf3_kc": _q_anf,
     "nf_curve_kc": _q_nf_curve,
     "assortativity_mod": _q_assortativity,
@@ -2076,6 +2145,7 @@ def build_oracle_sql() -> dict[str, str]:
         "coloring_mod": coloring_oracle_sql(),
         "kcore14_kc": kcore_oracle_sql(),
         "ktruss4_kc": ktruss_oracle_sql(),
+        "betweenness_kc": betweenness_oracle_sql(),
         "pagerank_mod_converged": pagerank_converged_oracle_sql(),
         "edge_csv_batch_convert": _edge_csv_batch_convert_sql(),
     })

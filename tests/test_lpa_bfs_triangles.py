@@ -504,3 +504,22 @@ def test_nf_curve_and_effective_diameter(spark):
     # effective diameter lands inside the probed horizon and interpolates
     ed = effective_diameter(_spark_edges(spark, arr), q=0.9, max_depth=6)
     assert 0 < ed <= 6
+
+
+def test_landmark_betweenness_matches_brandes(spark):
+    from minigraph_spark.plans.betweenness import landmark_betweenness
+
+    # diamond + tail: two shortest paths split the dependency
+    e = np.array([[0, 1], [0, 2], [1, 3], [2, 3], [3, 4]])
+    got = {r["vid"]: r["betweenness"]
+           for r in landmark_betweenness(_spark_edges(spark, e), [0]).collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 0.0}
+
+    arr = make_rmat_edges_np(power=6, num_edges=350, seed=23)
+    seeds = sorted({int(arr[0, 0]), int(arr[3, 1]), int(arr[7, 0])})
+    got = {r["vid"]: r["betweenness"]
+           for r in landmark_betweenness(_spark_edges(spark, arr), seeds).collect()}
+    want = oracle.landmark_betweenness(arr, seeds)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])

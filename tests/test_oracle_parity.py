@@ -50,6 +50,10 @@ def _oracle_for(name: str) -> str:
         from minigraph_spark.relational import ktruss_oracle_sql
 
         return ktruss_oracle_sql(SF_DIR)
+    if name == "betweenness_kc":
+        from minigraph_spark.relational import betweenness_oracle_sql
+
+        return betweenness_oracle_sql(SF_DIR)
     return ORACLE_SQL[name]
 
 
