@@ -1317,6 +1317,80 @@ def _q_lpa2(spark, sf_dir):
     return res.state.select("vid", F.col("value").alias("label"))
 
 
+def _q_modularity(spark, sf_dir):
+    """Newman modularity of the 2-iteration LPA partition on the mod
+    graph — the community-quality score next to the labels themselves."""
+    from .plans.modularity import modularity
+
+    res = run_lpa(mod_edges(spark, sf_dir), max_iter=2,
+                  engine_kwargs={"salt_skew": False})
+    labels = res.state.select("vid", F.col("value").alias("label"))
+    q = modularity(mod_edges(spark, sf_dir), labels)
+    return q.select(F.round("modularity", 6).alias("modularity"))
+
+
+def _modularity_sql() -> str:
+    """Q of the lpa2_mod labels, mirroring plans/modularity.py: e_c/m -
+    (deg_c/2m)^2 summed over communities of the canonical undirected
+    closure."""
+    return f"""
+WITH labels AS MATERIALIZED ({_lpa2_sql()}),
+edges AS MATERIALIZED ({MOD_SQL}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM canon),
+ein AS (SELECT l1.label, COUNT(*) AS e_c
+        FROM canon c JOIN labels l1 ON l1.vid = c.src
+        JOIN labels l2 ON l2.vid = c.dst AND l2.label = l1.label
+        GROUP BY l1.label),
+deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon)
+        GROUP BY v),
+degc AS (SELECT l.label, SUM(d.deg) AS deg_c
+         FROM deg d JOIN labels l ON l.vid = d.v GROUP BY l.label)
+SELECT ROUND(SUM(COALESCE(e.e_c, 0) / m.c - POWER(degc.deg_c / (2 * m.c), 2)), 6)
+       AS modularity
+FROM degc LEFT JOIN ein e ON e.label = degc.label CROSS JOIN m
+"""
+
+
+EMB_DIM = 64
+
+
+def _q_neighbor_emb(spark, sf_dir):
+    """GraphSAGE-style mean aggregation of in-neighbor embeddings over a
+    deterministic graph on the embedding ids (dst = (vec_id*7+3) mod N,
+    self-loops dropped)."""
+    from .operators.feature_agg import neighbor_feature_mean
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    edges = emb.select(
+        F.col("vec_id").alias("src"),
+        ((F.col("vec_id") * 7 + 3) % n).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out = neighbor_feature_mean(edges, emb, dim=EMB_DIM)
+    return out.select(
+        "vid", *[F.round(f"m{i:02d}", 6).alias(f"m{i:02d}") for i in range(EMB_DIM)]
+    )
+
+
+def _neighbor_emb_sql() -> str:
+    cols = ",\n       ".join(
+        f"ROUND(AVG(e.embedding[{i + 1}]), 6) AS m{i:02d}" for i in range(EMB_DIM)
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
+g AS (SELECT vec_id AS src, (vec_id * 7 + 3) % (SELECT c FROM n) AS dst
+      FROM embeddings
+      WHERE vec_id != (vec_id * 7 + 3) % (SELECT c FROM n))
+SELECT g.dst AS vid,
+       {cols}
+FROM g JOIN embeddings e ON e.vec_id = g.src
+GROUP BY g.dst
+"""
+
+
 def _q_wcc_snr(spark, sf_dir):
     res = run_wcc(snr_edges(spark, sf_dir), engine_kwargs={"salt_skew": False})
     return component_sizes(res.state)
@@ -2042,6 +2116,8 @@ QUERIES = {
     "pagerank_warm_mod": _q_pagerank_warm_mod,
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
+    "modularity_lpa_mod": _q_modularity,
+    "neighbor_emb_mean": _q_neighbor_emb,
     "wcc_components_snr": _q_wcc_snr,
     "wcc_csr_components_snr": _q_wcc_csr_snr,
     "bfs_mod": _q_bfs_mod,
@@ -2303,6 +2379,8 @@ _ORACLE_SQL_STATIC = {
     "pagerank_warm_mod": _pagerank_warm_sql(),
     "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
     "lpa2_mod": _lpa2_sql(),
+    "modularity_lpa_mod": _modularity_sql(),
+    "neighbor_emb_mean": _neighbor_emb_sql(),
     "wcc_components_snr": _WCC_SNR_SQL,
     "wcc_csr_components_snr": _WCC_SNR_SQL,
     "bfs_mod": _BFS_MOD_SQL,

@@ -523,3 +523,35 @@ def test_landmark_betweenness_matches_brandes(spark):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_modularity_two_cliques(spark):
+    from minigraph_spark.plans.modularity import modularity
+
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    edges = clique(range(4)) + clique(range(10, 14)) + [(3, 10)]
+    labels = [(v, 0) for v in range(4)] + [(v, 1) for v in range(10, 14)]
+    ldf = spark.createDataFrame(labels, "vid long, label long")
+    got = modularity(_spark_edges(spark, np.array(edges)), ldf).collect()[0][0]
+    # closed form: m=13, e_0=e_1=6, deg_0=13 (3*4+1), deg_1=13
+    want = 2 * (6 / 13 - (13 / 26) ** 2)
+    assert abs(got - want) < 1e-12
+
+    # empty graph guard
+    empty = _spark_edges(spark, np.empty((0, 2), dtype=np.int64))
+    assert modularity(empty, ldf).collect()[0][0] == 0.0
+
+
+def test_neighbor_feature_mean_tiny(spark):
+    from minigraph_spark.operators.feature_agg import neighbor_feature_mean
+
+    feats = spark.createDataFrame(
+        [(0, [1.0, 10.0]), (1, [3.0, 30.0]), (2, [5.0, 50.0])],
+        "vec_id long, embedding array<double>",
+    )
+    edges = _spark_edges(spark, np.array([[0, 2], [1, 2], [2, 0]]))
+    got = {r["vid"]: (r["m00"], r["m01"])
+           for r in neighbor_feature_mean(edges, feats).collect()}
+    assert got == {2: (2.0, 20.0), 0: (5.0, 50.0)}
