@@ -54,6 +54,32 @@ def landmark_distances(
     return out
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    seeds: list[int],
+    engine: SuperstepEngine | None = None,
+) -> DataFrame:
+    """(vid, n_probes, closeness): landmark-estimated closeness — for each
+    vertex, the number of probes that reach it and n_probes / sum of their
+    distances (the Wasserman-Faust-style probe-normalized form; vertices
+    reached by no probe, and probe self-rows, are absent). Estimates the
+    inverse mean distance FROM the probe set, the crawl-side analog of
+    harmonic centrality's per-target sum."""
+    d = landmark_distances(edges, seeds, engine=engine)
+    out = (
+        d.filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            (F.count(F.lit(1)) / F.sum("dist")).alias("closeness"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    d.unpersist()
+    return out
+
+
 def harmonic_centrality(
     edges: DataFrame,
     seeds: list[int],

@@ -1126,6 +1126,34 @@ SELECT v AS vid, ROUND(e, 6) AS anf3 FROM est
 """
 
 
+def _q_closeness(spark, sf_dir):
+    """Landmark closeness centrality (3 probes) on the kc graph."""
+    from .plans.centrality import closeness_centrality
+
+    c = closeness_centrality(kc_edges(spark, sf_dir), HARMONIC_SEEDS)
+    return c.select(
+        "vid", "n_probes", F.round("closeness", 6).alias("closeness")
+    )
+
+
+def _closeness_sql(seeds: list[int] = HARMONIC_SEEDS, max_d: int = 250) -> str:
+    vals = ",".join(f"({s})" for s in seeds)
+    return f"""
+WITH RECURSIVE
+edges AS ({KC_SQL}),
+seeds(s) AS (VALUES {vals}),
+walk(s, v, d) AS (
+  SELECT s, CAST(s AS BIGINT), CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < {max_d}
+),
+dist AS (SELECT s, v, MIN(d) AS dist FROM walk GROUP BY s, v)
+SELECT v AS vid, CAST(COUNT(*) AS BIGINT) AS n_probes,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) AS closeness
+FROM dist WHERE dist > 0 GROUP BY v
+"""
+
+
 def _q_betweenness(spark, sf_dir):
     """Landmark betweenness (sampled Brandes, 3 probe sources) on the kc
     graph."""
@@ -2104,6 +2132,7 @@ QUERIES = {
     "adamic_adar_kc": _q_adamic_adar,
     "link_scores_kc": _q_link_scores,
     "harmonic_kc": _q_harmonic,
+    "closeness_kc": _q_closeness,
     "betweenness_kc": _q_betweenness,
     "anf3_kc": _q_anf,
     "nf_curve_kc": _q_nf_curve,
@@ -2372,6 +2401,7 @@ _ORACLE_SQL_STATIC = {
     "hits3_mod": _hits_sql(),
     "scc_kc": SCC_ORACLE_SQL,
     "harmonic_kc": _harmonic_sql(),
+    "closeness_kc": _closeness_sql(),
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),
     "ppr3_mod": _ppr3_sql(),

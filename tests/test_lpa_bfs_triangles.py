@@ -555,3 +555,21 @@ def test_neighbor_feature_mean_tiny(spark):
     got = {r["vid"]: (r["m00"], r["m01"])
            for r in neighbor_feature_mean(edges, feats).collect()}
     assert got == {2: (2.0, 20.0), 0: (5.0, 50.0)}
+
+
+def test_closeness_matches_numpy(spark):
+    from minigraph_spark.plans.centrality import closeness_centrality
+
+    arr = make_rmat_edges_np(power=6, num_edges=300, seed=11)
+    seeds = list(dict.fromkeys([int(arr[0, 0]), int(arr[5, 1]), int(arr[9, 0])]))[:3]
+    got = {r["vid"]: (r["n_probes"], r["closeness"])
+           for r in closeness_centrality(_spark_edges(spark, arr), seeds).collect()}
+    acc: dict[int, list] = {}
+    for s in seeds:
+        for v, d in oracle.bfs_dist(arr, s).items():
+            if d > 0:
+                acc.setdefault(v, []).append(d)
+    assert set(got) == set(acc)
+    for v, ds in acc.items():
+        assert got[v][0] == len(ds)
+        assert abs(got[v][1] - len(ds) / sum(ds)) < 1e-9
