@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.superstep import SuperstepEngine
+from ..operators.superstep import (
+    SuperstepEngine,
+    free_rdd_ids,
+    persistent_rdd_ids,
+)
 from .bfs import run_bfs
 
 
@@ -52,6 +56,65 @@ def landmark_distances(
     if engine is None:
         eng.close()
     return out
+
+
+def run_eigenvector(
+    edges: DataFrame,
+    iters: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vid, score): eigenvector centrality on the undirected simple
+    closure — synchronous power iteration x' = A x, L2-normalized each
+    sweep, init x = 1 (the Bonacich measure; PageRank without damping or
+    degree normalization, HITS without the bipartite split). Fixed
+    ``iters`` sweeps, the oracle face.
+
+    Scale shape: identical to one PageRank sweep — the symmetrized edge
+    table is hash-partitioned once and persisted, each sweep is one
+    co-located scatter join + one sum-combine shuffle, and the L2 norm
+    rides in-plan as a 1-row broadcast. Lineage truncates per sweep via
+    eager localCheckpoint."""
+    from ..operators.partition import prepartition_edges
+    from ..operators.project import symmetrize
+    from ..session import iterative_confs
+
+    spark = edges.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    with iterative_confs(spark):
+        und = prepartition_edges(symmetrize(edges), n_part, by="src")
+    verts = und.select(F.col("src").alias("vid")).distinct()
+
+    before = persistent_rdd_ids(spark)
+    st = verts.select("vid", F.lit(1.0).alias("score")).localCheckpoint(
+        eager=True
+    )
+    st_ids = persistent_rdd_ids(spark) - before
+    if und.limit(1).count() == 0:
+        return st
+    for _ in range(iters):
+        raw = (
+            und.join(st.select(F.col("vid").alias("src"), "score"), "src")
+            .groupBy("dst")
+            .agg(F.sum("score").alias("_raw"))
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_n"))
+        before = persistent_rdd_ids(spark)
+        nxt = (
+            verts.join(raw.withColumnRenamed("dst", "vid"), "vid", "left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "vid",
+                (F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_n")).alias(
+                    "score"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        nxt_ids = persistent_rdd_ids(spark) - before
+        free_rdd_ids(spark, st_ids)
+        st, st_ids = nxt, nxt_ids
+    return st
 
 
 def closeness_centrality(

@@ -1126,6 +1126,33 @@ SELECT v AS vid, ROUND(e, 6) AS anf3 FROM est
 """
 
 
+def _q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (Bonacich power iteration, 3 L2-normalized
+    sweeps) on the kc graph's undirected closure."""
+    from .plans.centrality import run_eigenvector
+
+    ev = run_eigenvector(kc_edges(spark, sf_dir), iters=3)
+    return ev.select("vid", F.round("score", 6).alias("score"))
+
+
+def _eigenvector_sql(iters: int = 3) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({KC_SQL}),",
+        "und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und),",
+        "x0 AS (SELECT v, 1.0 AS score FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+xr{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.score) AS s
+        FROM und e JOIN x{k-1} p ON p.v = e.src GROUP BY e.dst),
+n{k} AS (SELECT SQRT(SUM(s * s)) AS nrm FROM xr{k}),
+x{k} AS MATERIALIZED (SELECT v.v, COALESCE(r.s, 0.0) / n{k}.nrm AS score
+        FROM verts v CROSS JOIN n{k} LEFT JOIN xr{k} r ON r.v = v.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, ROUND(score, 6) AS score FROM x{iters}"
+
+
 def _q_closeness(spark, sf_dir):
     """Landmark closeness centrality (3 probes) on the kc graph."""
     from .plans.centrality import closeness_centrality
@@ -2133,6 +2160,7 @@ QUERIES = {
     "link_scores_kc": _q_link_scores,
     "harmonic_kc": _q_harmonic,
     "closeness_kc": _q_closeness,
+    "eigen3_kc": _q_eigenvector,
     "betweenness_kc": _q_betweenness,
     "anf3_kc": _q_anf,
     "nf_curve_kc": _q_nf_curve,
@@ -2402,6 +2430,7 @@ _ORACLE_SQL_STATIC = {
     "scc_kc": SCC_ORACLE_SQL,
     "harmonic_kc": _harmonic_sql(),
     "closeness_kc": _closeness_sql(),
+    "eigen3_kc": _eigenvector_sql(),
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),
     "ppr3_mod": _ppr3_sql(),

@@ -573,3 +573,27 @@ def test_closeness_matches_numpy(spark):
     for v, ds in acc.items():
         assert got[v][0] == len(ds)
         assert abs(got[v][1] - len(ds) / sum(ds)) < 1e-9
+
+
+def test_eigenvector_matches_numpy(spark):
+    from minigraph_spark.plans.centrality import run_eigenvector
+
+    arr = make_rmat_edges_np(power=6, num_edges=300, seed=19)
+    got = {r["vid"]: r["score"]
+           for r in run_eigenvector(_spark_edges(spark, arr), iters=3).collect()}
+    # NumPy mirror: symmetrized simple closure, 3 L2-normalized sweeps
+    und = {(a, b) for a, b in map(tuple, arr) if a != b}
+    und |= {(b, a) for a, b in und}
+    ids = sorted({v for e in und for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    import numpy as _np
+    A = _np.zeros((len(ids), len(ids)))
+    for a, b in und:
+        A[idx[b], idx[a]] = 1.0
+    x = _np.ones(len(ids))
+    for _ in range(3):
+        x = A @ x
+        x = x / _np.sqrt((x * x).sum())
+    assert set(got) == set(ids)
+    for v in ids:
+        assert abs(got[v] - x[idx[v]]) < 1e-9
