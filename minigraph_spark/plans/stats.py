@@ -90,3 +90,40 @@ def graph_statistics(edges: DataFrame) -> DataFrame:
     )
     num_edges = edges.agg(F.count(F.lit(1)).alias("num_edges"))
     return num_edges.crossJoin(deg_stats)
+
+
+def degree_histogram(edges: DataFrame, log_base: float = 2.0) -> DataFrame:
+    """(bucket, n_vertices, min_degree, max_degree): log-binned histogram
+    of undirected degrees over the simple closure — the power-law sanity
+    plot every link-graph report opens with. bucket = floor(log_b(deg));
+    degree-0 vertices cannot appear (every vertex here has an edge).
+
+    One E-row canonicalize + V-row degree agg + ~log(max_deg)-row result;
+    all map-side combinable."""
+    from ..operators.project import symmetrize
+
+    canon = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    deg = (
+        canon.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    if log_base == 2.0:
+        # exact integer floor(log2): binary-digit count, no float logs —
+        # log(8)/log(2) floats can land just under 3.0 and mis-bucket the
+        # exact powers of two (and differently per engine)
+        bucket = (
+            F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1
+        ).cast("long")
+    else:
+        bucket = F.floor(
+            F.log(F.lit(float(log_base)), F.col("deg").cast("double"))
+        ).cast("long")
+    return (
+        deg.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("deg").alias("min_degree"),
+            F.max("deg").alias("max_degree"),
+        )
+    )

@@ -1126,6 +1126,27 @@ SELECT v AS vid, ROUND(e, 6) AS anf3 FROM est
 """
 
 
+def _q_degree_hist(spark, sf_dir):
+    """Log2-binned undirected degree histogram on the kc closure."""
+    from .plans.stats import degree_histogram
+
+    return degree_histogram(kc_edges(spark, sf_dir))
+
+
+DEGREE_HIST_SQL = f"""
+WITH edges AS ({KC_SQL}),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+canon AS (SELECT src, dst FROM und WHERE src < dst),
+deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon)
+        GROUP BY v)
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       COUNT(*) AS n_vertices,
+       MIN(deg) AS min_degree, MAX(deg) AS max_degree
+FROM deg GROUP BY 1
+"""
+
+
 def _q_eigenvector(spark, sf_dir):
     """Eigenvector centrality (Bonacich power iteration, 3 L2-normalized
     sweeps) on the kc graph's undirected closure."""
@@ -1299,6 +1320,34 @@ tot{dd} AS (SELECT {dd} AS d,
         f"SELECT d, nf FROM tot{dd}" for dd in range(1, max_depth + 1)
     )
     return body + "\n" + union
+
+
+def _q_eff_diameter(spark, sf_dir):
+    """q=0.9 effective diameter from the depth-4 NF curve on the kc graph
+    (HyperBall's headline deliverable). Driver-side interpolation over the
+    4-scalar curve — mirrored by the oracle's window interpolation."""
+    from .plans.anf import effective_diameter
+
+    d = effective_diameter(
+        kc_edges(spark, sf_dir), q=0.9, max_depth=NF_CURVE_DEPTH
+    )
+    return spark.createDataFrame(
+        [(round(d, 6),)], "eff_diameter double"
+    )
+
+
+def _eff_diameter_sql(q: float = 0.9) -> str:
+    return f"""
+WITH curve AS ({_nf_curve_sql()}),
+tgt AS (SELECT {q} * nf AS t FROM curve WHERE d = {NF_CURVE_DEPTH}),
+w AS (SELECT d, nf, LAG(d, 1, 0) OVER (ORDER BY d) AS pd,
+             LAG(nf, 1, 0.0) OVER (ORDER BY d) AS pnf FROM curve),
+sel AS (SELECT w.*, tgt.t FROM w CROSS JOIN tgt WHERE w.nf >= tgt.t
+        ORDER BY w.d LIMIT 1)
+SELECT ROUND(CASE WHEN nf = pnf THEN CAST(d AS DOUBLE)
+             ELSE pd + (t - pnf) / (nf - pnf) END, 6) AS eff_diameter
+FROM sel
+"""
 
 
 def _q_link_scores(spark, sf_dir):
@@ -2161,9 +2210,11 @@ QUERIES = {
     "harmonic_kc": _q_harmonic,
     "closeness_kc": _q_closeness,
     "eigen3_kc": _q_eigenvector,
+    "degree_hist_kc": _q_degree_hist,
     "betweenness_kc": _q_betweenness,
     "anf3_kc": _q_anf,
     "nf_curve_kc": _q_nf_curve,
+    "eff_diameter_kc": _q_eff_diameter,
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
     "hits3_mod": _q_hits3,
@@ -2431,8 +2482,10 @@ _ORACLE_SQL_STATIC = {
     "harmonic_kc": _harmonic_sql(),
     "closeness_kc": _closeness_sql(),
     "eigen3_kc": _eigenvector_sql(),
+    "degree_hist_kc": DEGREE_HIST_SQL,
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),
+    "eff_diameter_kc": _eff_diameter_sql(),
     "ppr3_mod": _ppr3_sql(),
     "walk4_mod": _walk_sql(),
     "pagerank_warm_mod": _pagerank_warm_sql(),
