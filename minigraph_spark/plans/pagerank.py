@@ -40,6 +40,7 @@ def run_pagerank(
     engine: SuperstepEngine | None = None,
     init_ranks: DataFrame | None = None,
     personalize: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> SuperstepResult:
     """Returns state (vid, value=rank). standard ranks sum to 1.
 
@@ -61,9 +62,12 @@ def run_pagerank(
     near-fixpoint start just needs far fewer sweeps; new vertices seed at
     1/n and the vector is renormalized to sum 1 in-plan).
     """
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     eng = engine or SuperstepEngine(
-        edges.select("src", "dst"), checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+        edges.select(*cols), checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
     )
+    if weight_col is not None and variant != "standard":
+        raise ValueError("weight_col applies to the standard variant only")
     verts = eng.vertices()
 
     if personalize is not None and (
@@ -77,7 +81,16 @@ def run_pagerank(
         )
 
     if variant == "standard":
-        outdeg = eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # weighted mode: contributions split by edge weight / total
+        # out-weight instead of 1 / out-degree (weighted PageRank, the
+        # natural rule when transcript links carry multiplicities); the
+        # dangling test (outdeg NULL) is unchanged
+        if weight_col is not None:
+            outdeg = eng.edges.groupBy("src").agg(
+                F.sum(F.col(weight_col).cast("double")).alias("outdeg")
+            )
+        else:
+            outdeg = eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         # clamp: an empty edge table has zero vertices; the loop then
         # converges immediately on the empty state instead of dividing by 0
         n = max(verts.count(), 1)
@@ -117,7 +130,13 @@ def run_pagerank(
             contrib = state.filter(F.col("outdeg").isNotNull()).select(
                 F.col("vid").alias("src"), (F.col("value") / F.col("outdeg")).alias("c")
             )
-            return e.join(contrib, "src").select("dst", F.col("c").alias("msg"))
+            joined = e.join(contrib, "src")
+            if weight_col is not None:
+                return joined.select(
+                    "dst",
+                    (F.col("c") * F.col(weight_col).cast("double")).alias("msg"),
+                )
+            return joined.select("dst", F.col("c").alias("msg"))
 
         def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
             # dangling mass IN-PLAN: sum of rank over out-degree-0 vertices,

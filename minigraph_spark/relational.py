@@ -248,6 +248,45 @@ r{k} AS MATERIALIZED (SELECT v.v,
     return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Weighted standard PageRank, 3 sweeps: contributions split by edge
+    weight / total out-weight (same deterministic weight rule as the
+    weighted-SSSP query: w = 1 + (src*31 + dst) % 9)."""
+    e = mod_edges(spark, sf_dir).select(
+        "src", "dst",
+        (1 + (F.col("src") * 31 + F.col("dst")) % 9).alias("w"),
+    )
+    res = run_pagerank(e, tol=0.0, max_iter=3, weight_col="w",
+                       engine_kwargs={"salt_skew": False})
+    return res.state.select("vid", F.round("value", 6).alias("rank"))
+
+
+def _pagerank_weighted_sql(iters: int = 3, alpha: float = 0.85) -> str:
+    """Unrolled weighted PageRank: same term order as _pagerank3_sql with
+    r/wsum scaled by each edge's weight."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT src, dst, 1 + ((src * 31 + dst) % 9) AS w FROM ({MOD_SQL})),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "outdeg AS MATERIALIZED (SELECT src AS v, CAST(SUM(w) AS DOUBLE) AS deg FROM edges GROUP BY src),",
+        "r0 AS MATERIALIZED (SELECT v, (SELECT 1.0/n FROM nn) AS r FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k-1}"
+        parts.append(f"""
+dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {p} p
+            LEFT JOIN outdeg od ON od.v = p.v WHERE od.v IS NULL),
+inc{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.r / od.deg * e.w) AS s
+           FROM edges e JOIN {p} p ON p.v = e.src JOIN outdeg od ON od.v = e.src
+           GROUP BY e.dst),
+r{k} AS MATERIALIZED (SELECT v.v,
+           (1 - {alpha}) / nn.n + {alpha} * (COALESCE(i.s, 0.0) + dang{k}.d / nn.n) AS r
+         FROM verts v CROSS JOIN nn CROSS JOIN dang{k}
+         LEFT JOIN inc{k} i ON i.v = v.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, ROUND(r, 6) AS rank FROM r{iters}"
+
+
 PPR_SEEDS = [0, 7, 101]  # all present in the mod graph at every driver sf
 
 
@@ -2217,6 +2256,7 @@ QUERIES = {
     "eff_diameter_kc": _q_eff_diameter,
     "assortativity_mod": _q_assortativity,
     "pagerank3_mod": _q_pagerank3,
+    "pagerank_weighted_mod": _q_pagerank_weighted,
     "hits3_mod": _q_hits3,
     "scc_kc": _q_scc,
     "ppr3_mod": _q_ppr3,
@@ -2477,6 +2517,7 @@ _ORACLE_SQL_STATIC = {
       FROM und u JOIN deg ds ON ds.vid = u.src JOIN deg dd ON dd.vid = u.dst
     """,
     "pagerank3_mod": _pagerank3_sql(),
+    "pagerank_weighted_mod": _pagerank_weighted_sql(),
     "hits3_mod": _hits_sql(),
     "scc_kc": SCC_ORACLE_SQL,
     "harmonic_kc": _harmonic_sql(),

@@ -85,3 +85,25 @@ def test_pagerank_personalized_rmat(spark):
                      personalize=seeds)
     with pytest.raises(ValueError, match="personalize"):
         run_pagerank(_spark_edges(spark, arr), personalize=[])
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    import numpy as np
+    import pandas as pd
+
+    from minigraph_spark.fixtures import make_rmat_edges_np
+    from minigraph_spark.plans.pagerank import run_pagerank
+
+    arr = make_rmat_edges_np(power=6, num_edges=300, seed=5)
+    e = spark.createDataFrame(
+        pd.DataFrame(arr, columns=["src", "dst"]), "src long, dst long"
+    )
+    ew = e.selectExpr("src", "dst", "CAST(3 AS DOUBLE) AS w")  # uniform
+    plain = {r["vid"]: r["value"]
+             for r in run_pagerank(e, tol=0.0, max_iter=4).state.collect()}
+    weighted = {r["vid"]: r["value"]
+                for r in run_pagerank(ew, tol=0.0, max_iter=4,
+                                      weight_col="w").state.collect()}
+    assert set(plain) == set(weighted)
+    for v in plain:
+        assert abs(plain[v] - weighted[v]) < 1e-12
