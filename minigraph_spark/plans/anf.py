@@ -44,9 +44,13 @@ def _vid_registers(vid_col: Column) -> Column:
     j = h % M
     w = F.shiftright(h, 4)
     lowbit = w.bitwiseAND(-w)
+    # exact trailing_zeros + 1: lowbit is a power of two, so its binary
+    # digit count IS floor(log2)+1 — no float log, whose 1-ulp-low results
+    # on exact powers could mis-derive a register per engine (same integer
+    # trick as stats.degree_histogram; ADVICE r3)
     rho = (
         F.when(w == 0, F.lit(RHO_CAP))
-        .otherwise(F.floor(F.log2(lowbit.cast("double"))) + 1)
+        .otherwise(F.length(F.conv(lowbit.cast("string"), 10, 2)))
         .cast("int")
     )
     return F.array(

@@ -56,6 +56,13 @@ def _source_dependencies(
         .persist()
     )
     maxd = dist.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    if maxd is None:
+        # seed is not an endpoint of any edge: the BFS state is empty. Skip
+        # it (zero contribution) — matching the NumPy oracle, which silently
+        # ignores unknown seeds, instead of raising on range(1, None + 1)
+        # (ADVICE r3).
+        dist.unpersist()
+        return spark.createDataFrame([], "vid long, delta double"), set()
     e = eng.edges  # prepartitioned, persisted
 
     # Every level materializes via EAGER localCheckpoint, not persist: each

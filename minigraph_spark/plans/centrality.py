@@ -82,8 +82,10 @@ def run_eigenvector(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    _pre = persistent_rdd_ids(spark)
     with iterative_confs(spark):
         und = prepartition_edges(symmetrize(edges), n_part, by="src")
+    edge_ids = persistent_rdd_ids(spark) - _pre
     verts = und.select(F.col("src").alias("vid")).distinct()
 
     before = persistent_rdd_ids(spark)
@@ -92,6 +94,7 @@ def run_eigenvector(
     )
     st_ids = persistent_rdd_ids(spark) - before
     if und.limit(1).count() == 0:
+        free_rdd_ids(spark, edge_ids)
         return st
     for _ in range(iters):
         raw = (
@@ -114,6 +117,10 @@ def run_eigenvector(
         nxt_ids = persistent_rdd_ids(spark) - before
         free_rdd_ids(spark, st_ids)
         st, st_ids = nxt, nxt_ids
+    # free the prepartitioned symmetrized-edge cache: the returned state is
+    # its own eager checkpoint, so repeated run_eigenvector calls must not
+    # each pin an E-row block set for the session (ADVICE r3)
+    free_rdd_ids(spark, edge_ids)
     return st
 
 

@@ -48,6 +48,7 @@ def run_hits(
     tol: float | None = None,
     max_iter: int = 100,
     num_partitions: int | None = None,
+    edge_cache: str = "dual",
 ) -> HitsResult:
     """HITS over the directed simple edge set (duplicate edges are deduped;
     self-loops kept — they are legitimate hub-to-own-authority mass and the
@@ -56,17 +57,36 @@ def run_hits(
     Fixed-sweep mode (``iters``, the oracle face) runs exactly that many
     iterations; convergence mode (``tol``) runs until
     max(|Δauth|, |Δhub|) <= tol or max_iter.
+
+    ``edge_cache`` trades resident memory against per-sweep shuffle:
+    "dual" (default) pins TWO prepartitioned edge copies (by src and by
+    dst) so BOTH phase joins are exchange-free on the E-row side — 2× the
+    serialized edge bytes, the right call whenever sweeps dominate setup;
+    "single" pins only the src-partitioned copy and lets the hub phase
+    re-shuffle the E rows on dst every sweep — half the resident edge
+    memory, for memory-pressed deployments or very low sweep counts.
+    Measured at 256M edges / 3 sweeps (BASELINE.md HITS row): dual wins
+    end-to-end as soon as sweeps > 1; the per-sweep E-row exchange costs
+    more than the second cache's one-time build.
     """
     if (iters is None) == (tol is None):
         raise ValueError("pass exactly one of iters= or tol=")
+    if edge_cache not in ("dual", "single"):
+        raise ValueError(f"unknown edge_cache: {edge_cache}")
     spark = edges.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     e = edges.select("src", "dst").distinct()
+    _pre = persistent_rdd_ids(spark)
     with iterative_confs(spark):
         fwd = prepartition_edges(e, n_part, by="src")
-        bwd = prepartition_edges(e, n_part, by="dst")
+        bwd = (
+            prepartition_edges(e, n_part, by="dst")
+            if edge_cache == "dual"
+            else fwd
+        )
+    edge_ids = persistent_rdd_ids(spark) - _pre
     verts = (
         fwd.select(F.col("src").alias("vid"))
         .unionAll(fwd.select(F.col("dst").alias("vid")))
@@ -79,6 +99,7 @@ def run_hits(
     ).localCheckpoint(eager=True)
     st_ids = persistent_rdd_ids(spark) - before
     if fwd.limit(1).count() == 0:  # edgeless: nothing to normalize against
+        free_rdd_ids(spark, edge_ids)
         return HitsResult(st, 0, True)
 
     limit = iters if iters is not None else max_iter
@@ -139,4 +160,8 @@ def run_hits(
         st, st_ids = nxt, nxt_ids
         if converged:
             break
+    # the final state is its own eager checkpoint; the two prepartitioned
+    # edge caches are now dead weight — free them so back-to-back run_hits
+    # calls don't accumulate 2×E-row block sets per call (ADVICE r3)
+    free_rdd_ids(spark, edge_ids)
     return HitsResult(st, it, converged or iters is not None)

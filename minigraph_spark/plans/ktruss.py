@@ -54,12 +54,30 @@ def _edge_support(cur: DataFrame) -> DataFrame:
     )
 
 
-def run_ktruss(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
+def run_ktruss(
+    edges: DataFrame, k: int, max_rounds: int = 200, method: str = "incremental"
+) -> DataFrame:
     """Edges of the k-truss: canonical (src, dst) rows, possibly empty.
 
     k <= 2 is the trivial truss (every edge has support >= 0), returned
     as the simple closure without peeling.
+
+    method="incremental" (default) enumerates triangles ONCE for the
+    initial supports, then maintains them: a round's support can only drop
+    on edges that shared a triangle with a dropped edge, so each peel round
+    intersects just the DROPPED edges against the alive adjacency to find
+    the dying triangles and decrements their surviving edges — 1 full
+    enumeration + R localized updates instead of R full enumerations
+    (VERDICT r3 item #5; the classic support-maintenance step of
+    Wang-Cheng-style truss decomposition). method="full" keeps the
+    re-enumerating peel for cross-checking; both produce the identical
+    synchronous-peel fixpoint, and the DuckDB oracle unrolls the full
+    form.
     """
+    if method == "incremental":
+        return _run_ktruss_incremental(edges, k, max_rounds)
+    if method != "full":
+        raise ValueError(f"unknown method: {method}")
     spark = edges.sparkSession
     # Eager localCheckpoint per round, NOT persist: the support plan
     # references `cur` ~8x (degree agg, orientation join, two adjacency
@@ -95,3 +113,109 @@ def run_ktruss(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
         free_rdd_ids(spark, cur_ids)
         cur, cur_ids, n_edges = nxt, nxt_ids, n_next
     return cur
+
+
+def _run_ktruss_incremental(
+    edges: DataFrame, k: int, max_rounds: int = 200
+) -> DataFrame:
+    """Support-maintenance peel (see run_ktruss). State per round is the
+    alive canonical edge set WITH its current support; the invariant is
+    support(e) == #triangles of the alive closure containing e, re-derived
+    only where it can change:
+
+        dying triangles = { {u,v,w} in alive : some edge dropped } — found
+        by intersecting each DROPPED edge's endpoints against the alive
+        undirected adjacency (w in adj(u) ∩ adj(v)), deduped as sorted
+        triples (a triangle with 2-3 dropped edges dies once);
+        decrement(e) = #dying triangles containing e, applied to SURVIVING
+        edges only.
+
+    Scale shape: round 0 pays one full triangle enumeration (the same
+    oriented-intersection plan as method="full"); each later round costs
+    one 2E-row adjacency groupBy plus an intersection join whose left side
+    is only the dropped edges — on deep peels (the expensive case) this
+    replaces R quadratic-volume enumerations with R dropped-local passes.
+    Same eager-localCheckpoint-per-round discipline (the support plan
+    references the state multiply; see run_ktruss's lineage comment)."""
+    spark = edges.sparkSession
+    before = persistent_rdd_ids(spark)
+    cur = (
+        symmetrize(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    cur_ids = persistent_rdd_ids(spark) - before
+    if k <= 2:
+        return cur
+    if cur.limit(1).count() == 0:
+        return cur
+
+    # round 0: full enumeration -> (src, dst, support), support-0 edges kept
+    before = persistent_rdd_ids(spark)
+    alive = (
+        cur.join(_edge_support(cur), ["src", "dst"], "left")
+        .select(
+            "src", "dst",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive_ids = persistent_rdd_ids(spark) - before
+    free_rdd_ids(spark, cur_ids)
+
+    for _ in range(max_rounds):
+        dropped = alive.filter(F.col("support") < k - 2)
+        if dropped.limit(1).count() == 0:
+            break
+        survivors = alive.filter(F.col("support") >= k - 2)
+        # undirected adjacency of the (old) alive closure — dropped edges
+        # included: a dying triangle's third edge may itself be dropped
+        und = alive.select("src", "dst").unionAll(
+            alive.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        adj = und.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        dying = (
+            dropped.select("src", "dst")
+            .join(
+                adj.select(F.col("src").alias("_u"), F.col("nbrs").alias("_un")),
+                F.col("src") == F.col("_u"),
+            )
+            .join(
+                adj.select(F.col("src").alias("_v"), F.col("nbrs").alias("_vn")),
+                F.col("dst") == F.col("_v"),
+            )
+            .select(
+                "src", "dst",
+                F.explode(F.array_intersect("_un", "_vn")).alias("w"),
+            )
+            .select(F.array_sort(F.array("src", "dst", "w")).alias("t"))
+            .distinct()
+        )
+        tri = dying.select(
+            F.element_at("t", 1).alias("a"),
+            F.element_at("t", 2).alias("b"),
+            F.element_at("t", 3).alias("c"),
+        )
+        edge3 = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        )
+        dec = (
+            edge3.join(dropped.select("src", "dst"), ["src", "dst"], "left_anti")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("_dec"))
+        )
+        before = persistent_rdd_ids(spark)
+        nxt = (
+            survivors.join(dec, ["src", "dst"], "left")
+            .select(
+                "src", "dst",
+                (F.col("support") - F.coalesce("_dec", F.lit(0))).alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nxt_ids = persistent_rdd_ids(spark) - before
+        free_rdd_ids(spark, alive_ids)
+        alive, alive_ids = nxt, nxt_ids
+    return alive.select("src", "dst")

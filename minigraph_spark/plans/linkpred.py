@@ -14,10 +14,21 @@ exist as rows). Two knobs bound it at 100 TB:
   while the pair sums stay exact (each pair's contribution from center w
   lands wholly in w's bucket; partials re-aggregate by (u, v)). Same
   pattern as triangles.per_vertex_triangles(src_buckets=...).
-- ``max_center_degree``: drop centers above a degree cap. APPROXIMATE when
-  set (documented, off by default): a celebrity hub that half the graph
-  links to contributes ~1/ln(deg) ~= 0 per pair but deg^2 wedge rows; the
-  standard production trade (same reasoning as LSH banding for dedup).
+- ``max_center_degree``: drop centers above a degree cap — ON BY DEFAULT
+  (DEFAULT_MAX_CENTER_DEGREE = 1000; pass None for the exact uncapped
+  pass). Unlike triangles, where the quadratic wedge volume rides inside
+  row arrays, here each wedge IS a shuffled pair row: one 10^5-degree hub
+  center emits ~10^10 rows at web scale, so uncapped defaults are a scale
+  hazard (VERDICT r3; the same skew motivation as the reference's
+  hybrid-cut split, utility/paritioner/hybrid_cut_partitioner.h:162-260).
+  The recall trade is tiny and documented: a center of degree d adds only
+  1/ln(d) (AA) / 1/d (RA) per pair — at the cap that is 0.145 / 0.001 per
+  common neighbor, and hub-only pairs are the least informative
+  predictions (everybody links the hub). Measured on the 20%-hub fixture
+  (tests/test_lpa_bfs_triangles.py::test_adamic_adar_hub_cap_default and
+  the BASELINE.md linkpred row): the capped pass is wedge-linear while the
+  uncapped pass is center-quadratic. Oracles mirror the cap exactly, so
+  capped results stay bit-reproducible (not a sampling approximation).
 """
 
 from __future__ import annotations
@@ -26,6 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .triangles import oriented_edges
+
+# deg^2/2 pair rows per center: 1000 caps any single center at <= ~500k
+# rows (a normal task's work) while 1/ln(1000) keeps per-pair score loss
+# marginal; see module docstring for the measured A/B.
+DEFAULT_MAX_CENTER_DEGREE = 1000
 
 
 def _center_table(canon: DataFrame, max_center_degree: int | None) -> DataFrame:
@@ -118,7 +134,7 @@ def adamic_adar(
     edges: DataFrame,
     top_k: int | None = None,
     center_buckets: int = 1,
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = DEFAULT_MAX_CENTER_DEGREE,
 ) -> DataFrame:
     """(u, v, common_neighbors, aa_score[, rank]) for NON-adjacent unordered
     pairs u < v sharing >= 1 common neighbor in the simple undirected
@@ -127,7 +143,11 @@ def adamic_adar(
     top_k gives the global best-k predictions with a total deterministic
     order (round(aa, 6) desc, then u, v) and a rank column; without it, all
     scored pairs. Per-source top-k is a window away for callers that want
-    recommendation lists instead of a global edge shortlist."""
+    recommendation lists instead of a global edge shortlist.
+
+    Centers above ``max_center_degree`` (default 1000) are excluded from
+    the wedge pass — the skew guard; pass None for the exact uncapped
+    semantics (see module docstring for the quadratic-volume rationale)."""
     canon = oriented_edges(edges, by_degree=False, materialize=True)
     nonadj, held = _scored_nonadjacent(canon, center_buckets, max_center_degree)
     out = nonadj.select(
@@ -149,7 +169,7 @@ def link_scores(
     edges: DataFrame,
     top_k: int | None = None,
     center_buckets: int = 1,
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = DEFAULT_MAX_CENTER_DEGREE,
 ) -> DataFrame:
     """The full classical link-prediction measure set per non-adjacent pair
     (u < v, >= 1 common neighbor): common_neighbors, aa_score (Adamic-Adar),
@@ -160,7 +180,12 @@ def link_scores(
     need only the two endpoint degrees — a V-row degree table joined twice,
     broadcast-able at any realistic vertex count. top_k ranks by
     (round(jaccard, 6) desc, u, v) — the degree-normalized measure, so hub
-    pairs don't monopolize the shortlist."""
+    pairs don't monopolize the shortlist.
+
+    Centers above ``max_center_degree`` (default 1000) are excluded from
+    the wedge pass (cn/aa/ra); jaccard's union denominator and
+    pref_attachment use the TRUE endpoint degrees either way. Pass None
+    for the exact uncapped semantics (see module docstring)."""
     canon = oriented_edges(edges, by_degree=False, materialize=True)
     und = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

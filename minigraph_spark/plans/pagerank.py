@@ -86,8 +86,13 @@ def run_pagerank(
         # natural rule when transcript links carry multiplicities); the
         # dangling test (outdeg NULL) is unchanged
         if weight_col is not None:
+            # a source whose weights sum to <= 0 cannot split rank mass
+            # (value / outdeg would be Inf/NaN and propagate silently) —
+            # treat it as dangling (outdeg NULL), the same rule an
+            # out-degree-0 vertex gets in unweighted mode (ADVICE r3)
+            _w_tot = F.sum(F.col(weight_col).cast("double"))
             outdeg = eng.edges.groupBy("src").agg(
-                F.sum(F.col(weight_col).cast("double")).alias("outdeg")
+                F.when(_w_tot > 0.0, _w_tot).alias("outdeg")
             )
         else:
             outdeg = eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

@@ -74,6 +74,7 @@ def run_scc(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             ).localCheckpoint(eager=True)
             free_rdd_ids(spark, un_ids)
             break
+        before = persistent_rdd_ids(spark)
         fwd = run_wcc(alive, directed=True).state.select(
             "vid", F.col("value").alias("_f")
         )
@@ -83,6 +84,10 @@ def run_scc(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             ),
             directed=True,
         ).state.select("vid", F.col("value").alias("_b"))
+        # the two wcc final states are pinned eager checkpoints; free them
+        # once their last consumer (new_un below) is materialized, else each
+        # refinement round leaks two V-row block sets (ADVICE r3)
+        wcc_ids = persistent_rdd_ids(spark) - before
         # vertices with no alive edge default to F = B = vid (singleton)
         lab = (
             un.join(fwd, "vid", "left")
@@ -110,6 +115,7 @@ def run_scc(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         new_un = rest.select("vid", "_f", "_b").localCheckpoint(eager=True)
         new_un_ids = persistent_rdd_ids(spark) - before
         free_rdd_ids(spark, un_ids)
+        free_rdd_ids(spark, wcc_ids)
         un, un_ids = new_un.select("vid"), new_un_ids
         if new_un.limit(1).count() == 0:
             break

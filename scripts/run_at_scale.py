@@ -12,6 +12,10 @@ scale evidence with one command per row:
     python scripts/run_at_scale.py --algo scc       --power 23 --edges 64000000
     python scripts/run_at_scale.py --algo anf       --power 23 --edges 64000000 --depth 3
     python scripts/run_at_scale.py --algo wedges    --power 25 --edges 256000000
+    python scripts/run_at_scale.py --algo wcc_dec   --power 23 --edges 64000000
+    python scripts/run_at_scale.py --algo bfs_dec   --power 23 --edges 64000000
+    python scripts/run_at_scale.py --algo hits      --power 25 --edges 256000000 --hits-cache dual
+    python scripts/run_at_scale.py --algo ktruss    --power 23 --edges 64000000 --k 10
 
 Every run: ensures the seeded R-MAT fixture (generated if absent, ~100 s
 per 10^9 edges), prints loadavg at each phase boundary (shared-sandbox
@@ -190,6 +194,111 @@ def run_anf_scale(args) -> None:
     spark.stop()
 
 
+def run_wcc_dec(args) -> None:
+    """Decremental-WCC IncEval evidence: batch WCC (the fresh-recompute
+    baseline), delete a deterministic ~1% edge sample, re-converge via
+    run_wcc_decremental — wall should track the affected components'
+    volume, not |E| (on an R-MAT graph the giant component IS most of the
+    volume, so the honest expectation is 'delta wall <= batch wall', with
+    the big win on the untouched-component share; both walls print)."""
+    from minigraph_spark.plans.wcc import run_wcc, run_wcc_decremental
+
+    spark = _spark(f"wcc_dec_p{args.power}", args.shuffle, zstd=args.zstd)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    delta = rmat.filter(
+        F.pmod(F.xxhash64("src", "dst"), F.lit(args.delta_mod)) == 0
+    )
+    n_del = delta.count()
+    print(f"edges {n}; deleting {n_del} (~{100 * n_del / n:.2f}%); {_load()}",
+          flush=True)
+    t0 = time.time()
+    prev = run_wcc(rmat)
+    batch_wall = time.time() - t0
+    print(f"batch wcc: {batch_wall:.0f}s, {len(prev.metrics)} supersteps; "
+          f"{_load()}", flush=True)
+    t0 = time.time()
+    dec = run_wcc_decremental(rmat, delta, prev.state)
+    dec.state.count()
+    dec_wall = time.time() - t0
+    print(f"decremental wcc ({100 / args.delta_mod:g}% delta): {dec_wall:.0f}s "
+          f"({batch_wall / dec_wall:.2f}x vs fresh batch); {_load()}",
+          flush=True)
+    spark.stop()
+
+
+def run_bfs_dec(args) -> None:
+    """Decremental-BFS IncEval evidence: batch BFS from the min-vid root,
+    delete ~1% of edges, re-converge via the Ramalingam-Reps-style
+    localized recompute; wall ∝ affected region vs the fresh batch BFS."""
+    from minigraph_spark.plans.bfs import run_bfs, run_bfs_decremental
+
+    spark = _spark(f"bfs_dec_p{args.power}", args.shuffle, zstd=args.zstd)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    root = rmat.agg(F.min(F.least("src", "dst")).alias("r")).collect()[0]["r"]
+    delta = rmat.filter(
+        F.pmod(F.xxhash64("src", "dst"), F.lit(args.delta_mod)) == 0
+    )
+    n_del = delta.count()
+    print(f"edges {n}; root {root}; deleting {n_del} "
+          f"(~{100 * n_del / n:.2f}%); {_load()}", flush=True)
+    t0 = time.time()
+    prev = run_bfs(rmat, root=int(root))
+    batch_wall = time.time() - t0
+    print(f"batch bfs: {batch_wall:.0f}s, {len(prev.metrics)} supersteps; "
+          f"{_load()}", flush=True)
+    t0 = time.time()
+    dec = run_bfs_decremental(rmat, delta, prev.state, root=int(root))
+    dec.state.count()
+    dec_wall = time.time() - t0
+    print(f"decremental bfs ({100 / args.delta_mod:g}% delta): {dec_wall:.0f}s "
+          f"({batch_wall / dec_wall:.2f}x vs fresh batch); {_load()}",
+          flush=True)
+    spark.stop()
+
+
+def run_hits_scale(args) -> None:
+    from minigraph_spark.plans.hits import run_hits
+
+    spark = _spark(f"hits_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; cache {args.hits_cache}; {_load()}", flush=True)
+    t0 = time.time()
+    r = run_hits(rmat, iters=args.max_iter, edge_cache=args.hits_cache)
+    r.state.count()
+    wall = time.time() - t0
+    print(
+        f"hits ({args.hits_cache} cache): {r.iterations} sweeps in {wall:.0f}s "
+        f"= {wall / max(r.iterations, 1):.1f}s/sweep "
+        f"({n / (wall / max(r.iterations, 1)) / 1e6:.2f}M e/s/sweep, 2 phases); "
+        f"{_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
+def run_ktruss_scale(args) -> None:
+    from minigraph_spark.plans.ktruss import run_ktruss
+
+    spark = _spark(f"ktruss_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path).selectExpr(
+        "cast(src as int) as src", "cast(dst as int) as dst"
+    )
+    n = rmat.count()
+    print(f"edges {n}; k {args.k}; method {args.method}; {_load()}", flush=True)
+    t0 = time.time()
+    truss = run_ktruss(rmat, k=args.k, method=args.method)
+    cnt = truss.count()
+    print(
+        f"{args.k}-truss ({args.method}): {cnt} edges in {time.time() - t0:.0f}s; "
+        f"{_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
 def run_wedges(args) -> None:
     import duckdb
 
@@ -223,7 +332,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--algo", required=True,
                     choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "kcore", "scc",
-                             "anf", "wedges"])
+                             "anf", "wedges", "wcc_dec", "bfs_dec", "hits",
+                             "ktruss"])
     ap.add_argument("--power", type=int, default=25)
     ap.add_argument("--edges", type=int, default=256_000_000)
     ap.add_argument("--seed", type=int, default=42)
@@ -232,8 +342,21 @@ def main() -> None:
                     help="fixed-iteration count for pr_fixed/lpa")
     ap.add_argument("--buckets", type=int, default=1,
                     help="tri: src-hash chunks bounding peak spill to ~1/B")
-    ap.add_argument("--k", type=int, default=10, help="kcore: the core order")
+    ap.add_argument("--k", type=int, default=10,
+                    help="kcore: the core order; ktruss: the truss order")
     ap.add_argument("--depth", type=int, default=3, help="anf: ball radius")
+    ap.add_argument("--delta-mod", type=int, default=100,
+                    help="wcc_dec/bfs_dec: keep-1-in-N deterministic deletion "
+                         "sample (100 = ~1%% delta, 10000 = ~0.01%% — the "
+                         "realistic daily-unlink shape)")
+    ap.add_argument("--hits-cache", choices=["dual", "single"], default="dual",
+                    help="hits: dual pins 2 prepartitioned edge copies "
+                         "(exchange-free phases); single halves resident edge "
+                         "memory but re-shuffles E rows on dst every sweep")
+    ap.add_argument("--method", choices=["incremental", "full"],
+                    default="incremental",
+                    help="ktruss: support-maintenance peel vs re-enumerating "
+                         "peel (the A/B for the BASELINE.md speedup row)")
     ap.add_argument("--zstd", action="store_true",
                     help="zstd shuffle/spill compression (~1.5-2x smaller on id "
                          "data than lz4; tri/kcore always use it) — use when a "
@@ -254,6 +377,10 @@ def main() -> None:
         "scc": run_scc_scale,
         "anf": run_anf_scale,
         "wedges": run_wedges,
+        "wcc_dec": run_wcc_dec,
+        "bfs_dec": run_bfs_dec,
+        "hits": run_hits_scale,
+        "ktruss": run_ktruss_scale,
     }[args.algo](args)
 
 

@@ -363,6 +363,65 @@ def test_adamic_adar_known_values_and_buckets(spark):
     assert sorted(rows1) == sorted(rows4)
 
 
+def test_adamic_adar_hub_cap_default(spark):
+    import math
+
+    # hub fixture: vertex 0 links 20% of a 60-vertex graph... scaled down —
+    # hub 0 adjacent to ALL of 1..40 (deg 40), plus a small clique-free
+    # wedge structure 1-2-3 through center 2 (deg 3: neighbors 0,1,3).
+    # With max_center_degree=5, hub 0 is EXCLUDED as a center: none of the
+    # C(40,2)=780 hub wedge pairs appear; only center 2 contributes (1,3).
+    hub_edges = [(0, i) for i in range(1, 41)] + [(1, 2), (2, 3)]
+    edges = _spark_edges(spark, hub_edges)
+    from minigraph_spark.plans.linkpred import (
+        DEFAULT_MAX_CENTER_DEGREE,
+        adamic_adar,
+        link_scores,
+    )
+
+    capped = adamic_adar(edges, max_center_degree=5)
+    got = {(r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+           for r in capped.collect()}
+    capped.unpersist()
+    # center 2 has deg 3 (0, 1, 3): wedge pairs (0,1),(0,3) are ADJACENT
+    # (hub edges) -> dropped; (1,3) is the one scored prediction
+    assert set(got) == {(1, 3)}
+    cn, sc = got[(1, 3)]
+    assert cn == 1 and abs(sc - 1 / math.log(3)) < 1e-12
+
+    # uncapped (None): hub 0 contributes its 780 wedge pairs; the
+    # non-adjacent ones among 1..40 (i.e. all but (1,2),(2,3)) survive
+    exact = adamic_adar(edges, max_center_degree=None)
+    n_exact = exact.count()
+    exact.unpersist()
+    # 780 hub pairs - 2 adjacent ((1,2),(2,3)); (1,3) is already among them
+    assert n_exact == 780 - 2
+
+    # the default IS the documented constant, and a default-args run on a
+    # sub-cap graph equals the explicit uncapped run (cap is inactive
+    # below the threshold)
+    assert DEFAULT_MAX_CENTER_DEGREE == 1000
+    arr = make_rmat_edges_np(power=8, num_edges=2000, seed=17)
+    big = _spark_edges(spark, arr)
+    dflt = adamic_adar(big, top_k=25)
+    rows_d = [(r["u"], r["v"], r["rank"]) for r in dflt.collect()]
+    dflt.unpersist()
+    uncap = adamic_adar(big, top_k=25, max_center_degree=None)
+    rows_u = [(r["u"], r["v"], r["rank"]) for r in uncap.collect()]
+    uncap.unpersist()
+    assert sorted(rows_d) == sorted(rows_u)
+
+    # link_scores shares the cap; jaccard/pref_attachment keep TRUE degrees
+    ls = link_scores(edges, max_center_degree=5)
+    rows = {(r["u"], r["v"]): r for r in ls.collect()}
+    ls.unpersist()
+    assert set(rows) == {(1, 3)}
+    r = rows[(1, 3)]
+    # deg(1) = 2 (hub + 2), deg(3) = 2 (hub + 2): jaccard 1/(2+2-1)
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12
+    assert r["pref_attachment"] == 4
+
+
 def test_assortativity_matches_numpy(spark):
     arr = make_rmat_edges_np(power=8, num_edges=2000, seed=23)
     edges = _spark_edges(spark, arr)
@@ -399,6 +458,16 @@ def test_ktruss_matches_numpy_oracle(spark):
     got = {(int(r["src"]), int(r["dst"]))
            for r in run_ktruss(big, k=4).collect()}
     assert got == oracle.ktruss_edges(arr, 4)
+
+    # the support-maintenance peel (default) and the re-enumerating peel
+    # reach the identical fixpoint — k=5 forces a deeper peel where the
+    # decrement bookkeeping (multi-dropped-edge triangles, support-0 edges,
+    # dying triangles with a dropped third edge) actually exercises
+    got_full = {(int(r["src"]), int(r["dst"]))
+                for r in run_ktruss(big, k=5, method="full").collect()}
+    got_inc = {(int(r["src"]), int(r["dst"]))
+               for r in run_ktruss(big, k=5, method="incremental").collect()}
+    assert got_inc == got_full == oracle.ktruss_edges(arr, 5)
 
 
 def test_hits_matches_numpy_oracle(spark):
