@@ -6,11 +6,10 @@ media travel as `binary` columns with a typed metadata struct, and every
 transform is an Arrow-batched mapInPandas / pandas UDF — never per-row
 Python, never driver-side bytes.
 
-Decode is REAL for the uncompressed public formats — PPM/BMP images, RIFF
-PCM16 WAV audio, and YUV4MPEG2 (Y4M) video — via the pure-NumPy codecs
-below (zero external deps). Compressed formats (png/jpeg/mp4) genuinely
-need external codec libraries absent from this container: those rows raise
-inside the task, and `fake=True` substitutes a deterministic fixture
+Decode is REAL for PPM/BMP/PNG images, RIFF PCM16 WAV audio, and
+YUV4MPEG2 (Y4M) video — via the pure-NumPy codecs below (PNG needs only
+stdlib zlib; zero external deps). JPEG/MP4 genuinely need external codec
+libraries absent from this container: those rows raise inside the task, and `fake=True` substitutes a deterministic fixture
 decoder (bytes -> seeded uint8 array) so the Spark-side plumbing — schema,
 batch shape, partitioning, UDF signatures — stays testable on any format.
 
@@ -109,8 +108,8 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
 # --- real codecs (pure NumPy, zero deps) ---------------------------------
 # PPM (P6), BMP (24-bit BI_RGB) and WAV (PCM16 mono) are simple public
 # formats parseable with plain NumPy — they make the decode path REAL for
-# those formats (fake=False), while compressed formats (png/jpeg/mp4) still
-# require external codecs and stay stubbed.
+# those formats (fake=False), and PNG needs only stdlib zlib on top (codec
+# further below); jpeg/mp4 still require external codecs and stay stubbed.
 
 def encode_ppm(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
@@ -299,7 +298,191 @@ def decode_y4m(payload: bytes) -> np.ndarray:
     return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
 
 
-_REAL_IMAGE_FORMATS = {"ppm": decode_ppm, "bmp": decode_bmp}
+# --- PNG (RFC 2083 / W3C spec), pure stdlib-zlib + NumPy ------------------
+# PNG is "compressed" only in the DEFLATE sense, and Python ships zlib —
+# so unlike JPEG/MP4 (entropy coding + DCT / full container stacks, still
+# honestly stubbed) a spec-correct PNG codec needs zero new dependencies.
+# Scope: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+# 6 (RGBA — alpha discarded; this pipeline's contract is (h, w, 3) RGB),
+# all five filter types, multi-IDAT streams, per-chunk CRC validation.
+# Adam7 interlace raises NotImplementedError (no fixture uses it).
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PaethPredictor over int arrays (left, up, upper-left)."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_scanlines(
+    raw: np.ndarray, bpp: int, filters: "list[int]"
+) -> bytes:
+    """Forward-filter (h, stride) int32 sample rows per the PNG spec —
+    the exact inverse of decode_png's unfilter loop."""
+    h = raw.shape[0]
+    zero = np.zeros(raw.shape[1], dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        cur, prev = raw[y], (raw[y - 1] if y else zero)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        f = filters[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        elif f == 4:
+            filt = cur - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _png_assemble(
+    samples: np.ndarray,
+    w: int,
+    h: int,
+    ctype: int,
+    bpp: int,
+    filters: "list[int] | None" = None,
+    plte: "np.ndarray | None" = None,
+    idat_split: int = 1,
+) -> bytes:
+    """Build a full PNG byte stream from (h, w*bpp) uint8 samples.
+    idat_split > 1 splits the compressed stream across that many IDAT
+    chunks (spec-legal; exercises the decoder's concatenation path)."""
+    import struct
+    import zlib
+
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+    body = zlib.compress(
+        _png_filter_scanlines(samples.astype(np.int32), bpp, filters), 6
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", np.ascontiguousarray(plte, np.uint8).tobytes())
+    step = -(-len(body) // idat_split)
+    for i in range(0, max(len(body), 1), max(step, 1)):
+        out += _png_chunk(b"IDAT", body[i : i + step])
+    return out + _png_chunk(b"IEND", b"")
+
+
+def encode_png(arr: np.ndarray, filters: "list[int] | None" = None) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (8-bit, color type 2). `filters` picks
+    the per-row filter type (default: row y uses y % 5, so a round-trip
+    exercises every unfilter path in decode_png)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return _png_assemble(arr.reshape(h, w * 3), w, h, ctype=2, bpp=3,
+                         filters=filters)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB. Validates every chunk CRC; concatenates
+    multi-IDAT streams before inflating; unfilters all five filter types.
+    Gray broadcasts to 3 channels, palette indexes PLTE, RGBA drops alpha."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, bytearray(), None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        kind = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(kind + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {kind!r} CRC mismatch")
+        if kind == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif kind == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif kind == b"IDAT":
+            idat += data
+        elif kind == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or ctype == 4:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    bpp = channels
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = line + prev
+        elif f in (1, 3, 4):
+            # left-dependent filters: sequential over pixels, vectorized
+            # across the pixel's channels (rows are fixture-small; the
+            # batch-level parallelism lives in mapInPandas above this)
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                left = cur[x - bpp : x] if x else np.zeros(bpp, np.int32)
+                up = prev[x : x + bpp]
+                upleft = prev[x - bpp : x] if x else np.zeros(bpp, np.int32)
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, upleft)
+                # reduce mod 256 NOW: the next pixel's `left` must read
+                # reconstructed bytes, not the unreduced running sum
+                cur[x : x + bpp] = (line[x : x + bpp] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        cur %= 256
+        img[y], prev = cur.astype(np.uint8), cur
+    px = img.reshape(h, w, bpp)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    return px[:, :, :3].copy()  # RGB, or RGBA with alpha dropped
+
+
+_REAL_IMAGE_FORMATS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
 
 
 def real_media_rows(n: int, seed: int = 42) -> list:
@@ -359,6 +542,47 @@ def make_real_video(spark, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(real_video_rows(n, seed), schema=MEDIA_SCHEMA)
 
 
+def real_png_rows(n: int, seed: int = 42) -> list:
+    """Deterministic media rows with REAL PNG payloads — pure stdlib zlib +
+    NumPy, shared by make_real_png and the driver's VALUES oracle. Cycles
+    the four supported color types (RGB / gray / palette / RGBA) and splits
+    every other payload across 2 IDAT chunks, so the decoder's channel
+    expansion, PLTE lookup, alpha drop and multi-IDAT paths are all
+    oracle-covered; per-row filters cycle y % 5 (every unfilter path)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = 12 + (i % 3) * 6, 10 + (i % 4) * 7
+        variant = i % 4
+        split = 2 if i % 2 else 1
+        if variant == 0:  # RGB, color type 2
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = _png_assemble(arr.reshape(h, w * 3), w, h, 2, 3,
+                                    idat_split=split)
+        elif variant == 1:  # grayscale, color type 0
+            g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            payload = _png_assemble(g.reshape(h, w), w, h, 0, 1,
+                                    idat_split=split)
+        elif variant == 2:  # palette, color type 3
+            plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+            idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+            payload = _png_assemble(idx.reshape(h, w), w, h, 3, 1,
+                                    plte=plte, idat_split=split)
+        else:  # RGBA, color type 6 (alpha dropped on decode)
+            arr = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+            payload = _png_assemble(arr.reshape(h, w * 4), w, h, 6, 4,
+                                    idat_split=split)
+        rows.append(
+            (i, bytearray(payload), ("image", "png", w, h, None, None, None))
+        )
+    return rows
+
+
+def make_real_png(spark, n: int, seed: int = 42) -> DataFrame:
+    """Image table whose payloads are REAL PNG encodings."""
+    return spark.createDataFrame(real_png_rows(n, seed), schema=MEDIA_SCHEMA)
+
+
 def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w, _ = img.shape
     ys = np.arange(out_h) * h // out_h
@@ -368,9 +592,9 @@ def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32, fake: bool = False) -> DataFrame:
     """payload -> decoded pixel tensor via mapInPandas, nearest-resized to
-    (out_h, out_w). fake=False REALLY decodes PPM and BMP payloads (pure
-    NumPy codecs above); compressed formats (png/jpeg) would need PIL/cv2
-    (not in this container) and raise inside the task. fake=True uses the
+    (out_h, out_w). fake=False REALLY decodes PPM, BMP and PNG payloads
+    (pure NumPy + stdlib-zlib codecs above); jpeg would need PIL/cv2
+    (not in this container) and raises inside the task. fake=True uses the
     deterministic fixture decoder regardless of format. Output: (media_id,
     height, width, pixels: array<int>) — fixed-size rows, shuffle-friendly.
     """
@@ -404,7 +628,7 @@ def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32, fake: bool = F
                 if dec is None:
                     raise NotImplementedError(
                         f"decoding {fmt!r} requires PIL/cv2 (not in this "
-                        "container); only ppm/bmp decode natively"
+                        "container); only ppm/bmp/png decode natively"
                     )
                 img = _resize_nearest(dec(bytes(p)), out_h, out_w)
                 out.append(img.ravel().astype(np.int32))

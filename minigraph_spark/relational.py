@@ -1789,6 +1789,52 @@ FRAME_SAMPLE_SQL = f"""
 N_REAL_VIDEO = 9  # real-y4m fixture: 3 each of C444/C422/C420jpeg
 _REAL_VIDEO_SEED = 13
 
+N_REAL_PNG = 12  # real-png fixture: 3 each of RGB/gray/palette/RGBA
+_REAL_PNG_SEED = 17
+
+
+def _q_decode_png_real(spark, sf_dir):
+    """REAL PNG decode end-to-end (stdlib zlib + NumPy codec — chunk walk,
+    CRC validation, inflate, all five unfilter paths, channel expansion),
+    digested per image exactly like decode_image_real."""
+    from .operators.multimodal import (
+        decode_image,
+        image_pixel_digest,
+        make_real_png,
+    )
+
+    pngs = make_real_png(spark, N_REAL_PNG, seed=_REAL_PNG_SEED)
+    return image_pixel_digest(decode_image(pngs, out_h=8, out_w=8, fake=False))
+
+
+def _decode_png_real_sql(n: int = N_REAL_PNG, seed: int = _REAL_PNG_SEED,
+                         out_h: int = 8, out_w: int = 8) -> str:
+    """Precomputed VALUES oracle for the REAL PNG decode — same digest
+    derivation as _decode_image_real_sql, over the seeded PNG fixture."""
+    import hashlib
+
+    import numpy as np
+
+    from .operators.multimodal import _resize_nearest, decode_png, real_png_rows
+
+    rows = []
+    for mid, payload, _meta in real_png_rows(n, seed):
+        px = (
+            _resize_nearest(decode_png(bytes(payload)), out_h, out_w)
+            .ravel()
+            .astype(np.int64)
+        )
+        s = ",".join(str(int(x)) for x in px)
+        rows.append(
+            f"({mid},{out_h},{out_w},{int(px.sum())},"
+            f"'{hashlib.md5(s.encode()).hexdigest()}')"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(height AS INTEGER) AS height, "
+        "CAST(width AS INTEGER) AS width, CAST(px_sum AS BIGINT) AS px_sum, px_md5 "
+        "FROM (VALUES " + ",".join(rows) + ") AS t(media_id, height, width, px_sum, px_md5)"
+    )
+
 
 def _q_decode_video_real(spark, sf_dir):
     """REAL video decode end-to-end: Y4M container parse + chroma upsample
@@ -2319,6 +2365,9 @@ QUERIES = {
     "embedding_near_dup_lsh": _q_embedding_dup_lsh,
     "token_count": _q_token_count,
     "tfidf_top3": _q_tfidf,
+    # --- round-4 additions (tail: beyond the driver's 50-key window;
+    # verified by the pytest oracle-parity sweep) ---
+    "decode_png_real": _q_decode_png_real,
 }
 
 @functools.cache
@@ -2373,6 +2422,7 @@ def build_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_ivf": _ann_ivf_sql(),
         "media_features": _media_features_sql(N_MEDIA, seed=7),
         "decode_image_real": _decode_image_real_sql(),
+        "decode_png_real": _decode_png_real_sql(),
         "decode_audio_real": _decode_audio_real_sql(),
         "decode_video_real": _decode_video_real_sql(),
         "frame_sample_real": _frame_sample_real_sql(),

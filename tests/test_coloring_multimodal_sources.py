@@ -250,16 +250,114 @@ def test_real_codecs_roundtrip_and_spark_decode(spark):
 
 
 def test_decode_image_unsupported_format_raises(spark):
-    """Compressed formats stay stubbed: fake=False on png payloads fails
-    inside the task with NotImplementedError."""
+    """jpeg stays stubbed: fake=False on jpeg payloads fails inside the
+    task with NotImplementedError; and a png-LABELED row whose payload is
+    NOT a PNG fails the real decoder's signature check, not silently."""
     import pytest
+    from pyspark.sql import functions as F
 
     from minigraph_spark.operators.multimodal import decode_image, make_fake_media
 
     media = make_fake_media(spark, 4, seed=3)  # png/jpeg/wav/mp4 formats
+    jpeg = media.filter(F.col("meta.format") == "jpeg")
     # PySpark surfaces the worker-side NotImplementedError as the same type
     with pytest.raises(Exception, match="PIL|NotImplementedError|decoding"):
-        decode_image(media, fake=False).collect()
+        decode_image(jpeg, fake=False).collect()
+    fake_png = media.filter(F.col("meta.format") == "png")
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_image(fake_png, fake=False).collect()
+
+
+def test_png_codec_spec_and_roundtrip():
+    """PNG codec against the spec's filter algebra: every filter type
+    round-trips; a hand-assembled stream with known filtered bytes decodes
+    to the exact raw pixels; gray/palette/RGBA expand as documented;
+    multi-IDAT concatenates; chunk CRC corruption raises."""
+    import numpy as np
+    import pytest
+
+    from minigraph_spark.operators.multimodal import (
+        _png_assemble,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for f in range(5):
+        assert np.array_equal(
+            decode_png(encode_png(arr, filters=[f] * 9)), arr
+        ), f"filter {f}"
+    # default mixed filters (y % 5) on assorted shapes incl. 1x1
+    for h, w in [(1, 1), (5, 3), (17, 23)]:
+        a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+
+    # spec-level known-bytes case: 2x2 RGB, row 0 Sub-filtered, row 1
+    # Up-filtered — the unfilter recurrences Recon(x)=Filt(x)+Recon(x-bpp)
+    # and +Recon_prev(x) must reproduce the raw samples exactly
+    raw = np.array(
+        [[10, 20, 30, 250, 1, 2], [5, 5, 5, 7, 8, 9]], dtype=np.uint8
+    )
+    assert np.array_equal(
+        decode_png(_png_assemble(raw, 2, 2, 2, 3, filters=[1, 2])),
+        raw.reshape(2, 2, 3),
+    )
+
+    g = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(_png_assemble(g, 5, 6, 0, 1)),
+        np.repeat(g[:, :, None], 3, axis=2),
+    )
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 5), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(_png_assemble(idx, 5, 6, 3, 1, plte=plte)), plte[idx]
+    )
+    a4 = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(_png_assemble(a4.reshape(6, 20), 5, 6, 6, 4)), a4[:, :, :3]
+    )
+    assert np.array_equal(
+        decode_png(_png_assemble(arr.reshape(9, 21), 7, 9, 2, 3, idat_split=3)),
+        arr,
+    )
+
+    corrupted = bytearray(encode_png(arr))
+    corrupted[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
+
+
+def test_png_spark_decode_matches_local(spark):
+    """decode_image(fake=False) really decodes the PNG fixture through the
+    Arrow UDF: pixels equal the locally decoded + resized reference for all
+    four color-type variants."""
+    import numpy as np
+
+    from minigraph_spark.operators.multimodal import (
+        _resize_nearest,
+        decode_image,
+        decode_png,
+        make_real_png,
+        real_png_rows,
+    )
+
+    rows = real_png_rows(8, seed=17)
+    got = {
+        r["media_id"]: np.array(r["pixels"], dtype=np.int64)
+        for r in decode_image(
+            make_real_png(spark, 8, seed=17), out_h=8, out_w=8, fake=False
+        ).collect()
+    }
+    assert len(got) == 8
+    for mid, payload, _meta in rows:
+        want = (
+            _resize_nearest(decode_png(bytes(payload)), 8, 8)
+            .ravel()
+            .astype(np.int64)
+        )
+        assert np.array_equal(got[mid], want), mid
 
 
 def test_y4m_codec_and_real_frame_sample(spark):
