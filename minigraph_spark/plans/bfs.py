@@ -177,7 +177,14 @@ def run_bfs_decremental(
     """
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     dele_keys = deleted_edges.select("src", "dst").distinct()
-    remaining = edges.select(*cols).join(dele_keys, ["src", "dst"], "left_anti")
+    # persist: the closure loop below semi-joins against `remaining` every
+    # round — without this the E-row anti-join recomputes per round (the
+    # same reason run_wcc_decremental persists its canonical base table)
+    remaining = (
+        edges.select(*cols)
+        .join(dele_keys, ["src", "dst"], "left_anti")
+        .persist()
+    )
     prev = prev_state.select("vid", "value")
     w = F.col(weight_col) if weight_col else F.lit(1)
 
@@ -282,5 +289,6 @@ def run_bfs_decremental(
     if frontier is not visited:
         frontier.unpersist()
     visited.unpersist()
+    remaining.unpersist()
     eng.close()
     return res
