@@ -149,6 +149,7 @@ def run_bfs_decremental(
     weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
+    batch_fallback_fraction: float | None = 0.5,
 ) -> SuperstepResult:
     """IncEval for BFS/SSSP under edge DELETIONS — the non-monotone
     direction (deletions can only LENGTHEN paths; see run_wcc_decremental
@@ -158,22 +159,44 @@ def run_bfs_decremental(
 
     Three localized phases, each ∝ the damage, not |E| (the
     Ramalingam-Reps shape as joins):
-    1. support-loss seeds — dst vertices of deleted edges that were TIGHT
-       (prev[src] + w == prev[dst]): only their distances can be stale;
-    2. affected closure — forward reachability of the seeds over the
-       REMAINING graph (conservative: a vertex whose old shortest path ran
-       through any stale vertex is downstream of it by definition). One
-       semi-join + anti-join per round, rounds = affected-region depth;
-    3. re-convergence — unaffected distances are provably still exact (any
-       path of theirs using a deleted edge would put them in the closure;
-       deletions cannot shorten paths), so min-plus re-runs with the
-       frontier seeded ONLY at the unaffected boundary (vertices with an
-       edge into the affected region) plus the root; affected vertices
-       restart from NULL and receive correct distances, or stay NULL if
-       now unreachable.
+    1. tight-edge tables — an edge (u, v) is TIGHT when prev[u] + w ==
+       prev[v] (it supports v's shortest distance). Every reachable
+       non-root vertex has >= 1 tight in-edge; only vertices that LOST a
+       tight in-edge can have a stale distance.
+    2. affected set by support counting (the Ramalingam-Reps rule): v is
+       affected iff ALL of its remaining tight in-edges come from affected
+       vertices (or it has none left). One intact tight parent u proves
+       d(v) unchanged — deletions cannot shorten paths, and u's own
+       distance is proven unchanged by induction on the (well-founded,
+       w > 0) distance order. Seeds: deleted-edge dsts with zero remaining
+       tight in-edges; each round then promotes vertices whose tight
+       parents are all affected. This is the decisive difference from a
+       naive forward closure: on a shallow power-law graph nearly every
+       vertex is DOWNSTREAM of some stale seed, but almost all of them
+       keep an alternative tight parent and never enter the affected set
+       (measured at 64M edges / 1% delta: the closure variant flooded the
+       graph and ran past an hour; see batch_fallback_fraction).
+    3. re-convergence — min-plus re-runs with the frontier seeded ONLY at
+       the unaffected boundary (vertices with an edge into the affected
+       region) plus the root; affected vertices restart from NULL and
+       receive correct distances, or stay NULL if now unreachable.
+
+    Weighted runs require strictly positive weights for the tight-parent
+    induction; if min(weight) <= 0 the localized path is skipped and the
+    batch recompute runs (identical result).
 
     Exactly equals run_bfs(remaining).state — batch semantics throughout,
     including vertex existence (a vertex losing its last edge has no row).
+
+    ``batch_fallback_fraction`` bounds the regret of the localized path:
+    phases 2-3 cost ∝ the affected region, which for a BULK delta (e.g. a
+    1% random edge sample of a shallow power-law graph — measured at 64M
+    edges) can be nearly the whole graph, making three localized passes
+    SLOWER than one fresh batch BFS. If the closure grows past this
+    fraction of the previous state's vertices the localized path is
+    abandoned and run_bfs(remaining) runs instead — identical result, cost
+    min(affected-region passes, one batch run). None disables the check
+    (always localize).
     """
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     dele_keys = deleted_edges.select("src", "dst").distinct()
@@ -188,47 +211,96 @@ def run_bfs_decremental(
     prev = prev_state.select("vid", "value")
     w = F.col(weight_col) if weight_col else F.lit(1)
 
-    # 1. tight deleted edges -> stale dst seeds
-    dele_full = edges.select(*cols).join(dele_keys, ["src", "dst"], "left_semi")
-    seeds = (
-        dele_full.join(
-            prev.select(F.col("vid").alias("src"), F.col("value").alias("_du")), "src"
-        )
-        .join(
-            prev.select(F.col("vid").alias("dst"), F.col("value").alias("_dv")), "dst"
-        )
+    if weight_col is not None:
+        minw = remaining.agg(F.min(weight_col).alias("m")).collect()[0]["m"]
+        if minw is not None and minw <= 0:
+            # zero/negative weights break the tight-parent induction
+            res = run_bfs(
+                remaining, root=root, max_iter=max_iter,
+                weight_col=weight_col, checkpoint_dir=checkpoint_dir,
+                engine_kwargs=engine_kwargs,
+            )
+            remaining.unpersist()
+            return res
+
+    # 1. tight in-edges of the remaining graph (support v's old distance)
+    prev_src = prev.select(F.col("vid").alias("src"), F.col("value").alias("_du"))
+    prev_dst = prev.select(F.col("vid").alias("dst"), F.col("value").alias("_dv"))
+    tight = (
+        remaining.join(prev_src, "src")
+        .join(prev_dst, "dst")
         .filter(
             F.col("_du").isNotNull()
             & F.col("_dv").isNotNull()
             & ((F.col("_du") + w) == F.col("_dv"))
         )
-        .select(F.col("dst").alias("vid"))
-        .distinct()
+        .select("src", "dst")
+        .persist()
     )
 
-    # 2. forward closure over the remaining graph
+    # seeds: dsts of deleted edges that kept NO tight in-edge (their old
+    # shortest-path support is entirely gone); root never qualifies
+    # (a tight edge into the root would need prev[src] < 0)
+    dele_dsts = (
+        dele_keys.select(F.col("dst").alias("vid"))
+        .distinct()
+        .filter(F.col("vid") != root)
+        .join(prev.filter(F.col("value").isNotNull()), "vid", "left_semi")
+    )
+    seeds = dele_dsts.join(
+        tight.select(F.col("dst").alias("vid")), "vid", "left_anti"
+    )
+
+    # 2. Ramalingam-Reps support counting: promote v when ALL its tight
+    # in-edges come from affected vertices
     visited = seeds.persist()
-    visited.count()
-    frontier = visited
+    n_visited = visited.count()
+    fallback_at = (
+        batch_fallback_fraction * prev.count()
+        if batch_fallback_fraction is not None
+        else None
+    )
     for _ in range(max_iter):
-        nxt = (
-            remaining.join(
-                frontier.withColumnRenamed("vid", "src"), "src", "left_semi"
+        if fallback_at is not None and n_visited > fallback_at:
+            visited.unpersist()
+            tight.unpersist()
+            res = run_bfs(
+                remaining, root=root, max_iter=max_iter,
+                weight_col=weight_col, checkpoint_dir=checkpoint_dir,
+                engine_kwargs=engine_kwargs,
             )
+            remaining.unpersist()
+            return res
+        # tight edges out of the current affected set, grouped per dst
+        from_aff = (
+            tight.join(visited.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_na"))
+        )
+        # total tight in-degree, computed only for those candidate dsts
+        totals = (
+            tight.join(from_aff.select("dst"), "dst", "left_semi")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+        )
+        newly = (
+            from_aff.join(totals, "dst")
+            .filter(F.col("_na") == F.col("_nt"))
             .select(F.col("dst").alias("vid"))
-            .distinct()
+            .filter(F.col("vid") != root)
             .join(visited, "vid", "left_anti")
             .persist()
         )
-        if nxt.count() == 0:
-            nxt.unpersist()
+        if newly.count() == 0:
+            newly.unpersist()
             break
-        grown = visited.unionAll(nxt).persist()
-        grown.count()
-        if frontier is not visited:  # round 1's frontier IS visited
-            frontier.unpersist()
+        # disjoint by the anti-join above — plain union, no dedup shuffle
+        grown = visited.unionAll(newly).persist()
+        n_visited = grown.count()
+        newly.unpersist()
         visited.unpersist()
-        visited, frontier = grown, nxt
+        visited = grown
+    tight.unpersist()
 
     eng = SuperstepEngine(remaining, checkpoint_dir=checkpoint_dir,
                           **(engine_kwargs or {}))
@@ -286,8 +358,6 @@ def run_bfs_decremental(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs_decremental",
     )
-    if frontier is not visited:
-        frontier.unpersist()
     visited.unpersist()
     remaining.unpersist()
     eng.close()

@@ -286,12 +286,17 @@ def test_bfs_sssp_decremental_equals_batch_on_remaining(spark):
         [tuple(map(int, r)) not in dset for r in remaining]
     ]
 
-    # unit BFS
+    # unit BFS — pin BOTH code paths: fallback disabled (the localized
+    # tight-parent support counting must be exact on its own) and fallback
+    # forced (the batch-regret bound must produce the identical state)
     prev = run_bfs(edges, root=root, engine_kwargs={"salt_skew": False})
-    res = run_bfs_decremental(edges, dele, prev.state, root=root,
-                              engine_kwargs={"salt_skew": False})
-    got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
-    assert got == oracle.bfs_dist(remaining, root)
+    want = oracle.bfs_dist(remaining, root)
+    for frac in (None, 0.0, 0.5):
+        res = run_bfs_decremental(edges, dele, prev.state, root=root,
+                                  engine_kwargs={"salt_skew": False},
+                                  batch_fallback_fraction=frac)
+        got = {k: v for k, v in labels_dict(res.state).items() if v is not None}
+        assert got == want, f"batch_fallback_fraction={frac}"
 
     # weighted SSSP: deterministic weights derived from endpoints
     wexpr = "(1 + (src * 31 + dst) % 9)"
