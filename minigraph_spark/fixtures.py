@@ -299,3 +299,71 @@ def make_rmat_edges_parquet(
 ) -> DataFrame:
     """Storage-backed R-MAT edge DataFrame (see ensure_rmat_parquet)."""
     return spark.read.parquet(ensure_rmat_parquet(power, num_edges, seed))
+
+
+def _write_chain_part(args) -> None:
+    first_edge, n, chain_len, part_path = args
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # global edge index e belongs to chain e // (chain_len - 1); within the
+    # chain it links turn (e % (L-1)) -> turn +1. Vertex id = scrambled
+    # (chain, turn) so ids look like the production xxhash64 conv/turn keys
+    # (scattered ids are WCC's hard case — BASELINE.md hooking notes), via
+    # a fixed odd-multiplier bijection on 2^62.
+    e = np.arange(first_edge, first_edge + n, dtype=np.int64)
+    per = chain_len - 1
+    chain, turn = e // per, e % per
+    mult = np.int64(0x9E3779B97F4A7C15 & ((1 << 62) - 1)) | np.int64(1)
+    mask = np.int64((1 << 62) - 1)
+
+    def vid(c, t):
+        return ((c * np.int64(chain_len) + t) * mult) & mask
+
+    pq.write_table(
+        pa.table(
+            {"src": vid(chain, turn), "dst": vid(chain, turn + 1)},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        ),
+        part_path,
+    )
+
+
+def ensure_chain_parquet(
+    num_edges: int,
+    chain_len: int = 20,
+    directory: str = "/tmp",
+    chunk: int = 8_000_000,
+    workers: int = 8,
+) -> str:
+    """Transcript-shaped edge fixture: disjoint conversation chains of
+    `chain_len` turns (chain_len - 1 edges each), vertex ids scrambled by a
+    fixed bijection — the BASELINE.json input shape ((conv_id, turn_idx)
+    chains at 10^12-turn scale has millions of tiny components, the exact
+    opposite locality profile of one R-MAT giant component). Deterministic
+    from (num_edges, chain_len) alone; storage-backed like the R-MAT
+    fixture and cached under the same content-md5 protocol."""
+    import os
+    import shutil
+    from concurrent.futures import ProcessPoolExecutor
+
+    path = f"{directory}/minigraph_chains_e{num_edges}_l{chain_len}_g1.parquet"
+    if os.path.exists(path):
+        return path
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    jobs = []
+    done = 0
+    while done < num_edges:
+        n = min(chunk, num_edges - done)
+        jobs.append((done, n, chain_len, f"{tmp}/part-{len(jobs):05d}.parquet"))
+        done += n
+    if len(jobs) == 1:
+        _write_chain_part(jobs[0])
+    else:
+        with ProcessPoolExecutor(max_workers=min(workers, len(jobs))) as ex:
+            list(ex.map(_write_chain_part, jobs))
+    publish_dir(tmp, path)
+    return path

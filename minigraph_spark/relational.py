@@ -2295,6 +2295,8 @@ QUERIES = {
     "decode_video_real": _q_decode_video_real,
     "frame_sample_real": _q_frame_sample_real,
     "sessionize_events": _q_sessionize,
+    # new in round 4, so also never verified yet
+    "decode_png_real": _q_decode_png_real,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2365,9 +2367,6 @@ QUERIES = {
     "embedding_near_dup_lsh": _q_embedding_dup_lsh,
     "token_count": _q_token_count,
     "tfidf_top3": _q_tfidf,
-    # --- round-4 additions (tail: beyond the driver's 50-key window;
-    # verified by the pytest oracle-parity sweep) ---
-    "decode_png_real": _q_decode_png_real,
 }
 
 @functools.cache

@@ -13,6 +13,12 @@ run() {
 
 run --algo wcc_dec --power 23 --edges 64000000 --zstd --delta-mod 10000
 run --algo bfs_dec --power 23 --edges 64000000 --zstd --delta-mod 10000
+# the 1% bulk-delta rerun on the support-counting algorithm (the closure
+# variant timed out at 3600s on this exact input in pass 1)
+run --algo bfs_dec --power 23 --edges 64000000 --zstd --delta-mod 100
 run --algo ktruss --power 23 --edges 64000000 --k 10 --method incremental
+# interleaved HITS dual re-read: pass 1's dual run shared the box with a
+# concurrent test suite; quote the quieter of the two dual readings
+run --algo hits --power 25 --edges 256000000 --hits-cache dual --max-iter 3
 
 echo "ALL DONE $(date -u)" >> "$LOG"

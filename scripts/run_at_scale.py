@@ -357,6 +357,14 @@ def main() -> None:
                     default="incremental",
                     help="ktruss: support-maintenance peel vs re-enumerating "
                          "peel (the A/B for the BASELINE.md speedup row)")
+    ap.add_argument("--graph", choices=["rmat", "chains"], default="rmat",
+                    help="input shape: seeded R-MAT (one giant component — "
+                         "the worst case for component-local IncEval) or "
+                         "transcript-shaped disjoint conversation chains "
+                         "(BASELINE.json's (conv_id, turn_idx) input hint: "
+                         "millions of tiny components)")
+    ap.add_argument("--chain-len", type=int, default=20,
+                    help="chains: turns per conversation chain")
     ap.add_argument("--zstd", action="store_true",
                     help="zstd shuffle/spill compression (~1.5-2x smaller on id "
                          "data than lz4; tri/kcore always use it) — use when a "
@@ -364,7 +372,12 @@ def main() -> None:
     args = ap.parse_args()
 
     t0 = time.time()
-    args.path = ensure_rmat_parquet(args.power, args.edges, seed=args.seed)
+    if args.graph == "chains":
+        from minigraph_spark.fixtures import ensure_chain_parquet
+
+        args.path = ensure_chain_parquet(args.edges, chain_len=args.chain_len)
+    else:
+        args.path = ensure_rmat_parquet(args.power, args.edges, seed=args.seed)
     print(f"gen/ensure: {time.time() - t0:.0f}s -> {args.path}; {_load()}",
           flush=True)
     {

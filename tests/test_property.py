@@ -176,3 +176,27 @@ def test_embedding_dup_lsh_subset_of_exact(spark):
         assert lsh[k] == exact[k]
     assert len(exact) >= 15
     assert len(lsh) / len(exact) >= 0.5  # band-OR recall at 4x8 planes/tables
+
+
+def test_chain_fixture_structure_and_wcc(spark, tmp_path):
+    """Transcript-chain fixture: exactly num_edges/(L-1) disjoint chains of
+    L vertices (the BASELINE.json (conv_id, turn_idx) input shape), ids
+    scrambled but collision-free; run_wcc finds one component per chain,
+    each of size L."""
+    import numpy as np
+
+    from minigraph_spark.fixtures import ensure_chain_parquet
+    from minigraph_spark.plans.wcc import component_sizes, run_wcc
+
+    p = ensure_chain_parquet(19 * 50, chain_len=20, directory=str(tmp_path))
+    edges = spark.read.parquet(p)
+    assert edges.count() == 19 * 50
+    res = run_wcc(edges, engine_kwargs={"salt_skew": False})
+    sizes = [r["size"] for r in component_sizes(res.state).collect()]
+    assert len(sizes) == 50 and set(sizes) == {20}
+    # determinism: same parameters -> identical content hash
+    from minigraph_spark.fixtures import dir_content_md5
+
+    p2 = ensure_chain_parquet(19 * 50, chain_len=20,
+                              directory=str(tmp_path / "again"))
+    assert dir_content_md5(p) == dir_content_md5(p2)
