@@ -299,6 +299,71 @@ def run_ktruss_scale(args) -> None:
     spark.stop()
 
 
+def run_linkpred_scale(args) -> None:
+    """The BASELINE.md linkpred row (VERDICT r3 #2): show the capped default
+    surviving the hub-heavy R-MAT where the uncapped pass is quadratic.
+
+    Prints the wedge-pair volume BOTH ways first (a V-row degree agg — the
+    rows the pair stage would shuffle), then times adamic_adar at the given
+    cap (--cap 0 = uncapped; only sane on small fixtures)."""
+    from minigraph_spark.plans.linkpred import (
+        DEFAULT_MAX_CENTER_DEGREE,
+        adamic_adar,
+    )
+
+    cap = args.cap if args.cap != 0 else None
+    if args.cap < 0:
+        cap = DEFAULT_MAX_CENTER_DEGREE
+    spark = _spark(f"linkpred_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path).selectExpr(
+        "cast(src as int) as src", "cast(dst as int) as dst"
+    )
+    n = rmat.count()
+    canon = (
+        rmat.filter("src <> dst")
+        .select(F.least("src", "dst").alias("s"), F.greatest("src", "dst").alias("d"))
+        .distinct()
+    )
+    und = canon.selectExpr("s as v").unionAll(canon.selectExpr("d as v"))
+    capv = cap if cap is not None else 1 << 62
+    vol = (
+        und.groupBy("v")
+        .count()
+        .filter("count >= 2")
+        .agg(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("uncapped"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN count <= {capv} THEN count * (count - 1) / 2 "
+                    "ELSE 0 END"
+                )
+            ).alias("capped"),
+            F.max("count").alias("max_deg"),
+        )
+        .first()
+    )
+    print(
+        f"edges {n}; cap {cap}; wedge-pair volume uncapped {vol['uncapped']:.3g} "
+        f"vs capped {vol['capped']:.3g} rows (max center deg {vol['max_deg']}); "
+        f"{_load()}",
+        flush=True,
+    )
+    t0 = time.time()
+    out = adamic_adar(
+        rmat, top_k=100, center_buckets=args.buckets, max_center_degree=cap
+    )
+    k = out.count()
+    wall = time.time() - t0
+    wedges = vol["capped"] if cap is not None else vol["uncapped"]
+    print(
+        f"adamic_adar (cap {cap}, buckets {args.buckets}): top-{k} in "
+        f"{wall:.0f}s = {wedges / wall / 1e6:.2f}M wedge-pairs/s; {_load()}",
+        flush=True,
+    )
+    out.unpersist()
+    spark.stop()
+
+
 def run_wedges(args) -> None:
     import duckdb
 
@@ -333,7 +398,7 @@ def main() -> None:
     ap.add_argument("--algo", required=True,
                     choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "kcore", "scc",
                              "anf", "wedges", "wcc_dec", "bfs_dec", "hits",
-                             "ktruss"])
+                             "ktruss", "linkpred"])
     ap.add_argument("--power", type=int, default=25)
     ap.add_argument("--edges", type=int, default=256_000_000)
     ap.add_argument("--seed", type=int, default=42)
@@ -357,6 +422,10 @@ def main() -> None:
                     default="incremental",
                     help="ktruss: support-maintenance peel vs re-enumerating "
                          "peel (the A/B for the BASELINE.md speedup row)")
+    ap.add_argument("--cap", type=int, default=-1,
+                    help="linkpred: max_center_degree (-1 = library default, "
+                         "0 = uncapped exact pass — quadratic in hub degree, "
+                         "small fixtures only)")
     ap.add_argument("--graph", choices=["rmat", "chains"], default="rmat",
                     help="input shape: seeded R-MAT (one giant component — "
                          "the worst case for component-local IncEval) or "
@@ -394,6 +463,7 @@ def main() -> None:
         "bfs_dec": run_bfs_dec,
         "hits": run_hits_scale,
         "ktruss": run_ktruss_scale,
+        "linkpred": run_linkpred_scale,
     }[args.algo](args)
 
 
