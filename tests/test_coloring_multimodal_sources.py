@@ -16,8 +16,10 @@ from minigraph_spark.operators.multimodal import (
 )
 from minigraph_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from minigraph_spark.plans.coloring import coloring_conflicts, run_coloring
+from minigraph_spark.schemas import EDGE_SCHEMA
 from minigraph_spark.sources.edgelist import (
     batch_convert_edgelists,
+    rewrite_separator,
     read_edge_csv,
     read_edges_parquet,
     retype_ids,
@@ -132,6 +134,20 @@ def test_batch_convert_edgelists(spark, tmp_path):
                             out_format="adjacency_text")
     lines = sorted(spark.read.text(adj).toPandas()["value"])
     assert "0: 2 3" in lines
+
+
+def test_rewrite_separator_roundtrip(spark, tmp_path):
+    # P9 parity (tools/python/replace_sep.py): read one sep, write another;
+    # values and row count survive, and the output really uses the new sep
+    src = tmp_path / "tabbed"
+    src.mkdir()
+    (src / "e.tsv").write_text("".join(f"{s}\t{d}\n" for s, d in TINY7_EDGES))
+    out = str(tmp_path / "commas")
+    rewrite_separator(spark, str(src), out, in_sep="\t", out_sep=",")
+    raw = sorted(spark.read.text(out).toPandas()["value"])
+    assert all("," in line and "\t" not in line for line in raw)
+    back = spark.read.option("sep", ",").schema(EDGE_SCHEMA).csv(out)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(TINY7_EDGES)
 
 
 def test_retype_and_sample(spark):
