@@ -35,7 +35,9 @@ def main() -> None:
                     choices=["pagerank", "pagerank_minigraph", "wcc", "wcc_csr",
                              "lpa", "bfs", "triangles", "stats"])
     ap.add_argument("--edges", help="parquet path with (src,dst) columns")
-    ap.add_argument("--transcripts", help="parquet/Iceberg path with transcript schema")
+    ap.add_argument("--transcripts",
+                    help="transcript source: catalog/Iceberg table name or "
+                         "parquet path (sources/transcripts.py dispatch)")
     ap.add_argument("--transcripts-demo", type=int, default=0,
                     help="synthesize N deterministic conversations instead of reading input")
     ap.add_argument("--out", required=True)
@@ -68,7 +70,11 @@ def main() -> None:
 
         edges = project_edges(make_transcripts(spark, args.transcripts_demo))
     elif args.transcripts:
-        edges = project_edges(spark.read.parquet(args.transcripts))
+        from minigraph_spark.sources.transcripts import load_transcripts
+
+        # catalog/Iceberg table name or parquet path, conformed to the
+        # canonical schema either way
+        edges = project_edges(load_transcripts(spark, args.transcripts))
     elif args.edges:
         edges = spark.read.parquet(args.edges)
     else:
