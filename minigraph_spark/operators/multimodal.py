@@ -6,10 +6,11 @@ media travel as `binary` columns with a typed metadata struct, and every
 transform is an Arrow-batched mapInPandas / pandas UDF — never per-row
 Python, never driver-side bytes.
 
-Decode is REAL for PPM/BMP/PNG images, RIFF PCM16 WAV audio, and
-YUV4MPEG2 (Y4M) video — via the pure-NumPy codecs below (PNG needs only
-stdlib zlib; zero external deps). JPEG/MP4 genuinely need external codec
-libraries absent from this container: those rows raise inside the task, and `fake=True` substitutes a deterministic fixture
+Decode is REAL for PPM/BMP/PNG/baseline-JPEG images, RIFF PCM16 WAV
+audio, and YUV4MPEG2 (Y4M) video — via the pure-NumPy codecs below (PNG
+needs only stdlib zlib; zero external deps). MP4/H.264 genuinely needs an
+external codec library absent from this container: those rows raise
+inside the task, and `fake=True` substitutes a deterministic fixture
 decoder (bytes -> seeded uint8 array) so the Spark-side plumbing — schema,
 batch shape, partitioning, UDF signatures — stays testable on any format.
 
@@ -108,8 +109,8 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
 # --- real codecs (pure NumPy, zero deps) ---------------------------------
 # PPM (P6), BMP (24-bit BI_RGB) and WAV (PCM16 mono) are simple public
 # formats parseable with plain NumPy — they make the decode path REAL for
-# those formats (fake=False), and PNG needs only stdlib zlib on top (codec
-# further below); jpeg/mp4 still require external codecs and stay stubbed.
+# those formats (fake=False); PNG needs only stdlib zlib and baseline
+# JPEG only NumPy (codecs further below); mp4 stays honestly stubbed.
 
 def encode_ppm(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
@@ -482,7 +483,432 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()  # RGB, or RGBA with alpha dropped
 
 
-_REAL_IMAGE_FORMATS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
+# --- JPEG (ITU-T T.81 baseline sequential DCT), pure NumPy ----------------
+# Real entropy-coded baseline JPEG, zero new dependencies. The encoder
+# emits its OWN canonical Huffman tables in DHT (the spec carries tables
+# in-stream precisely so decoders never assume the Annex K examples): all
+# symbols a table uses get equal-length codes — valid, deterministic,
+# mildly suboptimal, and it keeps no 162-entry constant blobs in the repo.
+# The decoder is table-driven from the stream (BITS/HUFFVAL canonical
+# walk), handles grayscale and 3-component YCbCr at sampling factors <= 2
+# (4:4:4 and 4:2:0 covered), multiple DQT/DHT payloads per marker, byte
+# stuffing, and DRI/RSTn predictor resets. Progressive (SOF2) and
+# arithmetic coding honestly raise.
+
+def _zigzag_order() -> np.ndarray:
+    """Raster index for each zigzag position (derived, not transcribed)."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag.reverse()  # even anti-diagonals run bottom-left -> top-right
+        order.extend(i * 8 + j for i, j in diag)
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZZ = _zigzag_order()
+_JPEG_UNZZ = np.argsort(_JPEG_ZZ)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix M: F = M @ f @ M.T, f = M.T @ F @ M."""
+    n = np.arange(8)
+    m = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    m[0] /= np.sqrt(2)
+    return m
+
+
+_JPEG_DCT = _dct_matrix()
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for shift in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> shift) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def pad_to_byte(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+def _jpeg_fixed_tables(symbols_used: set) -> tuple[list, list, dict]:
+    """Equal-length canonical table over the symbols actually used:
+    BITS counts, HUFFVAL list, and symbol -> (code, length). Length is the
+    smallest L with nsym <= 2^L - 1, so the all-ones code stays unused
+    (T.81 C.2 requires it free for marker-prefix safety)."""
+    vals = sorted(symbols_used)
+    L = 1
+    while len(vals) > (1 << L) - 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(vals)
+    enc = {v: (i, L) for i, v in enumerate(vals)}
+    return bits, vals, enc
+
+
+def _jpeg_tokenize_block(coef_zz: np.ndarray, pred: int) -> tuple[int, list]:
+    """(new DC pred, token list) — tokens are ('dc'|'ac', symbol, value
+    bits, nbits)."""
+    tokens = []
+    diff = int(coef_zz[0]) - pred
+    t = _jpeg_category(diff)
+    bits_val = diff if diff >= 0 else diff + (1 << t) - 1
+    tokens.append(("dc", t, bits_val, t))
+    k = 1
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            tokens.append(("ac", 0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = _jpeg_category(v)
+        bits_v = v if v >= 0 else v + (1 << s) - 1
+        tokens.append(("ac", (run << 4) | s, bits_v, s))
+        run = 0
+    if run:
+        tokens.append(("ac", 0x00, 0, 0))  # EOB
+    return int(coef_zz[0]), tokens
+
+
+def _jpeg_plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzagged quantized coefficients of a level-shifted
+    plane padded to 8-multiples by edge replication."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane.astype(np.float64) - 128.0,
+                    ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    freq = np.einsum("ij,abjk,lk->abil", _JPEG_DCT, blocks, _JPEG_DCT)
+    q = np.round(freq / qt[None, None]).astype(np.int32)
+    return q.reshape(ph // 8, pw // 8, 64)[:, :, _JPEG_ZZ]
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: "int | np.ndarray" = 1,
+    sampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder. arr: (h, w, 3) uint8 RGB or (h, w) grayscale.
+    quant: uniform scalar or explicit (8,8) table(s) — scalar 1 makes the
+    DCT stage near-lossless (roundtrip error is float/round only).
+    sampling: '444' or '420' (3-channel only)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if sampling not in ("444", "420") or (gray and sampling == "420"):
+        raise ValueError("sampling must be 444, or 420 for RGB input")
+    qt_l = np.full((8, 8), int(quant), np.uint8) if np.isscalar(quant) else np.asarray(quant, np.uint8)
+    qt_c = qt_l
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+        if sampling == "420":
+            ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+    samp = [(1, 1)] if gray else ([(1, 1)] * 3 if sampling == "444" else [(2, 2), (1, 1), (1, 1)])
+    qts = [qt_l] if gray else [qt_l, qt_c, qt_c]
+    coefs = [_jpeg_plane_blocks(p, q.astype(np.float64)) for p, q in zip(planes, qts)]
+
+    # MCU walk -> token stream (pass 1: symbol counts; pass 2: bits)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    dc_syms: dict = {0: set(), 1: set()}
+    ac_syms: dict = {0: set(), 1: set()}
+    mcus = []
+    preds = [0] * len(planes)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                preds = [0] * len(planes)
+                mcus.append(("rst",))
+            n_mcu += 1
+            for ci, (hi, vi) in enumerate(samp):
+                cls = 0 if ci == 0 else 1
+                for dv in range(vi):
+                    for dh in range(hi):
+                        by = min(my * vi + dv, coefs[ci].shape[0] - 1)
+                        bx = min(mx * hi + dh, coefs[ci].shape[1] - 1)
+                        preds[ci], toks = _jpeg_tokenize_block(
+                            coefs[ci][by, bx], preds[ci]
+                        )
+                        for kind, sym, _bv, _nb in toks:
+                            (dc_syms if kind == "dc" else ac_syms)[cls].add(sym)
+                        mcus.append(("blk", cls, toks))
+    tables = {}
+    for cls in range(2 if len(planes) > 1 else 1):
+        tables[("dc", cls)] = _jpeg_fixed_tables(dc_syms[cls] or {0})
+        tables[("ac", cls)] = _jpeg_fixed_tables(ac_syms[cls] or {0})
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0]) + bytes(qt_l.reshape(64)[_JPEG_ZZ])
+    if not gray:
+        dqt += bytes([1]) + bytes(qt_c.reshape(64)[_JPEG_ZZ])
+    out += seg(0xDB, dqt)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    dht = b""
+    for (kind, cls), (bits, vals, _enc) in sorted(tables.items()):
+        dht += bytes([(0 if kind == "dc" else 0x10) | cls]) + bytes(bits) + bytes(vals)
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    bw = _JpegBitWriter()
+    rst_i = 0
+    for item in mcus:
+        if item[0] == "rst":
+            bw.pad_to_byte()
+            bw.out += bytes([0xFF, 0xD0 + (rst_i % 8)])
+            rst_i += 1
+            continue
+        _, cls, toks = item
+        for kind, sym, bv, nb in toks:
+            _bits, _vals, enc = tables[(kind, cls)]
+            code, length = enc[sym]
+            bw.write(code, length)
+            if nb:
+                bw.write(bv, nb)
+    bw.pad_to_byte()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d, self.p, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.p]
+            if b == 0xFF:
+                if self.d[self.p + 1] != 0x00:
+                    raise ValueError("marker inside entropy-coded segment")
+                self.p += 2  # stuffed 0xFF00 -> literal 0xFF
+            else:
+                self.p += 1
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v
+
+    def expect_rst(self, idx: int) -> None:
+        self.n = 0  # discard pad bits to the byte boundary
+        if self.d[self.p] != 0xFF or self.d[self.p + 1] != 0xD0 + (idx % 8):
+            raise ValueError("missing RST marker at restart interval")
+        self.p += 2
+
+
+def _jpeg_huff_decoder(bits: list, vals: list):
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code = k = 0
+    for L in range(1, 17):
+        valptr[L], mincode[L] = k, code
+        code += bits[L - 1]
+        k += bits[L - 1]
+        maxcode[L] = code - 1 if bits[L - 1] else -1
+        code <<= 1
+
+    def decode(br: _JpegBitReader) -> int:
+        c = 0
+        for L in range(1, 17):
+            c = (c << 1) | br.bit()
+            if bits[L - 1] and c <= maxcode[L]:
+                return vals[valptr[L] + c - mincode[L]]
+        raise ValueError("invalid Huffman code")
+
+    return decode
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-JPEG decode -> (h, w, 3) uint8 RGB (grayscale replicated).
+    Sequential DCT only; SOF markers other than SOF0 raise."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    p = 2
+    qts: dict = {}
+    huff: dict = {}
+    comps: list = []
+    h = w = 0
+    dri = 0
+    scan: list = []
+    while True:
+        if d[p] != 0xFF:
+            raise ValueError(f"expected marker at byte {p}")
+        m = d[p + 1]
+        p += 2
+        if m == 0xD9:  # EOI (only reachable pre-scan; scan loop exits below)
+            break
+        seglen = int.from_bytes(d[p : p + 2], "big")
+        body = d[p + 2 : p + seglen]
+        p += seglen
+        if m == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                n = 64 * (2 if pq else 1)
+                raw = body[i + 1 : i + 1 + n]
+                vals = (
+                    np.frombuffer(raw, ">u2") if pq else np.frombuffer(raw, np.uint8)
+                ).astype(np.float64)
+                qts[tq] = vals[_JPEG_UNZZ].reshape(8, 8)
+                i += 1 + n
+        elif m == 0xC0:  # SOF0 baseline
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = [
+                {
+                    "id": body[6 + 3 * i],
+                    "hi": body[7 + 3 * i] >> 4,
+                    "vi": body[7 + 3 * i] & 15,
+                    "tq": body[8 + 3 * i],
+                }
+                for i in range(nc)
+            ]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{m - 0xC0}: only baseline sequential DCT (SOF0) supported"
+            )
+        elif m == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _jpeg_huff_decoder(bits, vals)
+                i += 17 + n
+        elif m == 0xDD:  # DRI
+            dri = int.from_bytes(body[:2], "big")
+        elif m == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            scan = [
+                {"id": body[1 + 2 * i], "td": body[2 + 2 * i] >> 4,
+                 "ta": body[2 + 2 * i] & 15}
+                for i in range(ns)
+            ]
+            break
+        # APPn / COM / anything else: skipped via seglen
+
+    if not comps or not scan:
+        raise ValueError("missing SOF0/SOS")
+    byid = {c["id"]: c for c in comps}
+    order = [byid[s["id"]] | {"td": s["td"], "ta": s["ta"]} for s in scan]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["vi"] * 8, mcux * c["hi"] * 8), np.float64)
+        for c in order
+    ]
+    br = _JpegBitReader(d, p)
+    preds = [0] * len(order)
+    rst_i = 0
+    for m_i in range(mcuy * mcux):
+        if dri and m_i and m_i % dri == 0:
+            br.expect_rst(rst_i)
+            rst_i += 1
+            preds = [0] * len(order)
+        my, mx = divmod(m_i, mcux)
+        for ci, c in enumerate(order):
+            dc_dec, ac_dec = huff[(0, c["td"])], huff[(1, c["ta"])]
+            for dv in range(c["vi"]):
+                for dh in range(c["hi"]):
+                    zz = np.zeros(64, np.float64)
+                    t = dc_dec(br)
+                    preds[ci] += _jpeg_extend(br.receive(t), t)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        s = ac_dec(br)
+                        r, size = s >> 4, s & 15
+                        if size == 0:
+                            if s == 0xF0:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        zz[k] = _jpeg_extend(br.receive(size), size)
+                        k += 1
+                    block = (zz * qts[c["tq"]].reshape(64)[_JPEG_ZZ])[_JPEG_UNZZ].reshape(8, 8)
+                    pix = _JPEG_DCT.T @ block @ _JPEG_DCT + 128.0
+                    y0, x0 = (my * c["vi"] + dv) * 8, (mx * c["hi"] + dh) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    up = []
+    for c, pl in zip(order, planes):
+        ry, rx = vmax // c["vi"], hmax // c["hi"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        up.append(pl[:h, :w])
+    if len(up) == 1:
+        g = np.clip(np.round(up[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = up
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+_REAL_IMAGE_FORMATS = {
+    "ppm": decode_ppm,
+    "bmp": decode_bmp,
+    "png": decode_png,
+    "jpeg": decode_jpeg,
+}
 
 
 def real_media_rows(n: int, seed: int = 42) -> list:
@@ -583,6 +1009,45 @@ def make_real_png(spark, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(real_png_rows(n, seed), schema=MEDIA_SCHEMA)
 
 
+def real_jpeg_rows(n: int, seed: int = 42) -> list:
+    """Deterministic media rows with REAL baseline-JPEG payloads — pure
+    NumPy encoder above, shared by make_real_jpeg and the driver's VALUES
+    oracle. Cycles RGB 4:4:4 / grayscale / RGB 4:2:0 / RGB 4:4:4 with a
+    coarser quant table + restart markers, so the decoder's sampling
+    grids, DC-prediction resets, dequant and color paths are all
+    oracle-covered."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = 14 + (i % 3) * 7, 12 + (i % 4) * 6
+        variant = i % 4
+        if variant == 0:
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_jpeg(arr, quant=1)
+        elif variant == 1:
+            arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            payload = encode_jpeg(arr, quant=1)
+        elif variant == 2:
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [(yy * 3 + xx * 2) % 256, (yy * 5 + i) % 256, (xx * 7) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payload = encode_jpeg(arr, quant=1, sampling="420")
+        else:
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_jpeg(arr, quant=4, restart_interval=3)
+        rows.append(
+            (i, bytearray(payload), ("image", "jpeg", w, h, None, None, None))
+        )
+    return rows
+
+
+def make_real_jpeg(spark, n: int, seed: int = 42) -> DataFrame:
+    """Image table whose payloads are REAL baseline-JPEG encodings."""
+    return spark.createDataFrame(real_jpeg_rows(n, seed), schema=MEDIA_SCHEMA)
+
+
 def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w, _ = img.shape
     ys = np.arange(out_h) * h // out_h
@@ -593,7 +1058,7 @@ def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32, fake: bool = False) -> DataFrame:
     """payload -> decoded pixel tensor via mapInPandas, nearest-resized to
     (out_h, out_w). fake=False REALLY decodes PPM, BMP and PNG payloads
-    (pure NumPy + stdlib-zlib codecs above); jpeg would need PIL/cv2
+    (pure NumPy + stdlib-zlib codecs above); exotic formats need PIL/cv2
     (not in this container) and raises inside the task. fake=True uses the
     deterministic fixture decoder regardless of format. Output: (media_id,
     height, width, pixels: array<int>) — fixed-size rows, shuffle-friendly.
@@ -627,8 +1092,8 @@ def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32, fake: bool = F
                 dec = _REAL_IMAGE_FORMATS.get(fmt)
                 if dec is None:
                     raise NotImplementedError(
-                        f"decoding {fmt!r} requires PIL/cv2 (not in this "
-                        "container); only ppm/bmp/png decode natively"
+                        f"decoding {fmt!r} requires an external codec (not in "
+                        "this container); ppm/bmp/png/jpeg decode natively"
                     )
                 img = _resize_nearest(dec(bytes(p)), out_h, out_w)
                 out.append(img.ravel().astype(np.int32))

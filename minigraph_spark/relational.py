@@ -1836,6 +1836,54 @@ def _decode_png_real_sql(n: int = N_REAL_PNG, seed: int = _REAL_PNG_SEED,
     )
 
 
+N_REAL_JPEG = 12  # real-jpeg fixture: 3 each of RGB444/gray/RGB420/q4+RST
+_REAL_JPEG_SEED = 23
+
+
+def _q_decode_jpeg_real(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end (pure-NumPy T.81 codec —
+    marker walk, in-stream Huffman tables, 4:4:4 + 4:2:0 sampling grids,
+    restart-marker predictor resets, dequant + IDCT + YCbCr->RGB),
+    digested per image exactly like decode_png_real."""
+    from .operators.multimodal import (
+        decode_image,
+        image_pixel_digest,
+        make_real_jpeg,
+    )
+
+    jpgs = make_real_jpeg(spark, N_REAL_JPEG, seed=_REAL_JPEG_SEED)
+    return image_pixel_digest(decode_image(jpgs, out_h=8, out_w=8, fake=False))
+
+
+def _decode_jpeg_real_sql(n: int = N_REAL_JPEG, seed: int = _REAL_JPEG_SEED,
+                          out_h: int = 8, out_w: int = 8) -> str:
+    """Precomputed VALUES oracle for the REAL JPEG decode — same digest
+    derivation as _decode_png_real_sql, over the seeded JPEG fixture."""
+    import hashlib
+
+    import numpy as np
+
+    from .operators.multimodal import _resize_nearest, decode_jpeg, real_jpeg_rows
+
+    rows = []
+    for mid, payload, _meta in real_jpeg_rows(n, seed):
+        px = (
+            _resize_nearest(decode_jpeg(bytes(payload)), out_h, out_w)
+            .ravel()
+            .astype(np.int64)
+        )
+        s = ",".join(str(int(x)) for x in px)
+        rows.append(
+            f"({mid},{out_h},{out_w},{int(px.sum())},"
+            f"'{hashlib.md5(s.encode()).hexdigest()}')"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(height AS INTEGER) AS height, "
+        "CAST(width AS INTEGER) AS width, CAST(px_sum AS BIGINT) AS px_sum, px_md5 "
+        "FROM (VALUES " + ",".join(rows) + ") AS t(media_id, height, width, px_sum, px_md5)"
+    )
+
+
 def _q_decode_video_real(spark, sf_dir):
     """REAL video decode end-to-end: Y4M container parse + chroma upsample
     per frame, digested per video (all frames, every_n=1)."""
@@ -2280,7 +2328,8 @@ def _q_bfs_incremental_mod(spark, sf_dir):
 
 # Dict ORDER is a driver contract: the per-round CORRECTNESS check samples the
 # FIRST ~50 keys in dict order.  Round-4 ordering policy (VERDICT r3 item #1):
-#   block 1 — the 7 keys never driver-verified in any round (r1-r3);
+#   block 1 — the 7 keys never driver-verified in any round (r1-r3), plus the
+#             keys NEW in round 4 (decode_png_real, decode_jpeg_real);
 #   block 2 — the 18 keys last verified in round 2;
 #   block 3 — the 50 keys verified green in round 3 (25 of them land inside the
 #             window this round; the 25 tail keys already hold r03-green rows).
@@ -2297,6 +2346,7 @@ QUERIES = {
     "sessionize_events": _q_sessionize,
     # new in round 4, so also never verified yet
     "decode_png_real": _q_decode_png_real,
+    "decode_jpeg_real": _q_decode_jpeg_real,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2422,6 +2472,7 @@ def build_oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(N_MEDIA, seed=7),
         "decode_image_real": _decode_image_real_sql(),
         "decode_png_real": _decode_png_real_sql(),
+        "decode_jpeg_real": _decode_jpeg_real_sql(),
         "decode_audio_real": _decode_audio_real_sql(),
         "decode_video_real": _decode_video_real_sql(),
         "frame_sample_real": _frame_sample_real_sql(),

@@ -376,6 +376,84 @@ def test_png_spark_decode_matches_local(spark):
         assert np.array_equal(got[mid], want), mid
 
 
+def test_jpeg_codec_spec_and_roundtrip():
+    """Baseline-JPEG codec (pure NumPy, T.81): marker structure, near-
+    lossless roundtrip at quant=1 for gray/444/420, restart-marker
+    equivalence, and honest raises for non-baseline streams."""
+    import numpy as np
+
+    from minigraph_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # derived zigzag equals the canonical T.81 sequence (spot ends + one diag)
+    assert list(_JPEG_ZZ[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(_JPEG_ZZ[-4:]) == [47, 55, 62, 63]
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    enc = encode_jpeg(g, quant=1)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    assert b"\xff\xc0" in enc and b"\xff\xc4" in enc and b"\xff\xdb" in enc
+    out = decode_jpeg(enc)
+    assert out.shape == (24, 17, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    assert (out[:, :, 0] == out[:, :, 1]).all()  # gray replicated
+
+    c = rng.integers(0, 256, size=(19, 26, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(c, quant=1))
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 4
+
+    # 4:2:0 with constant chroma per 2x2 (gray content): subsample lossless
+    base = np.repeat(rng.integers(0, 256, size=(24, 24), dtype=np.uint8)[:, :, None], 3, axis=2)
+    out = decode_jpeg(encode_jpeg(base, quant=1, sampling="420"))
+    assert np.abs(out.astype(int) - base.astype(int)).max() <= 3
+
+    # restart markers: stream contains RSTn and decodes identically
+    e_rst = encode_jpeg(c, quant=1, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in e_rst for i in range(8))
+    assert (decode_jpeg(e_rst) == decode_jpeg(encode_jpeg(c, quant=1))).all()
+
+    # progressive (SOF2) honestly raises
+    sof2 = bytearray(encode_jpeg(g, quant=1))
+    sof2[sof2.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(sof2))
+
+
+def test_jpeg_spark_decode_matches_local(spark):
+    """decode_image(fake=False) really decodes the JPEG fixture through the
+    Arrow UDF: pixels equal the locally decoded + resized reference for all
+    four fixture variants (444/gray/420/q4+RST)."""
+    import numpy as np
+
+    from minigraph_spark.operators.multimodal import (
+        _resize_nearest,
+        decode_image,
+        decode_jpeg,
+        make_real_jpeg,
+        real_jpeg_rows,
+    )
+
+    rows = real_jpeg_rows(8, seed=23)
+    got = {
+        r["media_id"]: np.array(r["pixels"], dtype=np.int64)
+        for r in decode_image(
+            make_real_jpeg(spark, 8, seed=23), out_h=8, out_w=8, fake=False
+        ).collect()
+    }
+    assert len(got) == 8
+    for mid, payload, _meta in rows:
+        want = (
+            _resize_nearest(decode_jpeg(bytes(payload)), 8, 8)
+            .ravel()
+            .astype(np.int64)
+        )
+        assert np.array_equal(got[mid], want), mid
+
+
 def test_y4m_codec_and_real_frame_sample(spark):
     """Y4M round-trips through the pure-NumPy container codec (C444
     lossless; subsampled variants lossless on Y and deterministic on
