@@ -7,9 +7,10 @@ transform is an Arrow-batched mapInPandas / pandas UDF — never per-row
 Python, never driver-side bytes.
 
 Decode is REAL for PPM/BMP/PNG/baseline-JPEG images, RIFF PCM16 WAV
-audio, and YUV4MPEG2 (Y4M) video — via the pure-NumPy codecs below (PNG
-needs only stdlib zlib; zero external deps). MP4/H.264 genuinely needs an
-external codec library absent from this container: those rows raise
+audio, and Y4M + Motion-JPEG-MP4 video — via the pure-NumPy codecs below
+(PNG needs only stdlib zlib; zero external deps). Only H.264/HEVC sample
+payloads genuinely need an external codec library absent from this
+container: those rows raise
 inside the task, and `fake=True` substitutes a deterministic fixture
 decoder (bytes -> seeded uint8 array) so the Spark-side plumbing — schema,
 batch shape, partitioning, UDF signatures — stays testable on any format.
@@ -110,7 +111,8 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
 # PPM (P6), BMP (24-bit BI_RGB) and WAV (PCM16 mono) are simple public
 # formats parseable with plain NumPy — they make the decode path REAL for
 # those formats (fake=False); PNG needs only stdlib zlib and baseline
-# JPEG only NumPy (codecs further below); mp4 stays honestly stubbed.
+# JPEG only NumPy, and MJPEG-MP4 rides on the JPEG codec (all below);
+# only H.264/HEVC sample payloads stay honestly stubbed.
 
 def encode_ppm(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
@@ -911,6 +913,201 @@ _REAL_IMAGE_FORMATS = {
 }
 
 
+# --- MP4 (ISO/IEC 14496-12 BMFF container, Motion-JPEG samples) -----------
+# The last formerly-stubbed format. A real box-structured MP4 whose video
+# track carries per-frame baseline-JPEG samples ('jpeg' VisualSampleEntry,
+# the classic Motion-JPEG layout) decodes with the pure-NumPy JPEG codec
+# above plus a container walk: moov/trak/mdia/minf/stbl, sample sizes from
+# stsz, chunk offsets from stco/co64, sample->chunk mapping from stsc.
+# H.264/HEVC payloads still honestly raise — those need external codecs.
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_UNITY_MATRIX = (
+    (0x10000).to_bytes(4, "big") + bytes(4) * 2
+    + bytes(4) + (0x10000).to_bytes(4, "big") + bytes(4)
+    + bytes(4) * 2 + (0x40000000).to_bytes(4, "big")
+)
+
+
+def encode_mjpeg_mp4(
+    frames: np.ndarray, fps: int = 25, quant: "int | np.ndarray" = 1
+) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> Motion-JPEG MP4 (one video track,
+    one sample per frame, single chunk). Timescale 1000, constant frame
+    duration."""
+    n, h, w, _ = frames.shape
+    samples = [encode_jpeg(f, quant=quant) for f in frames]
+    sizes = [len(s) for s in samples]
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    first_sample_off = len(ftyp) + 8  # mdat payload start in the file
+    dur = n * 1000 // fps
+
+    name = b"minigraph mjpeg"
+    stsd_entry = (
+        (86 + 0).to_bytes(4, "big") + b"jpeg" + bytes(6) + (1).to_bytes(2, "big")
+        + bytes(16)
+        + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+        + (0x00480000).to_bytes(4, "big") * 2 + bytes(4) + (1).to_bytes(2, "big")
+        + bytes([len(name)]) + name + bytes(31 - len(name))
+        + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+    )
+    stbl = (
+        _full(b"stsd", 0, 0, (1).to_bytes(4, "big") + stsd_entry)
+        + _full(b"stts", 0, 0, (1).to_bytes(4, "big")
+                + n.to_bytes(4, "big") + (1000 // fps).to_bytes(4, "big"))
+        + _full(b"stsc", 0, 0, (1).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + n.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+        + _full(b"stsz", 0, 0, bytes(4) + n.to_bytes(4, "big")
+                + b"".join(s.to_bytes(4, "big") for s in sizes))
+        + _full(b"stco", 0, 0, (1).to_bytes(4, "big")
+                + first_sample_off.to_bytes(4, "big"))
+    )
+    minf = (
+        _full(b"vmhd", 0, 1, bytes(8))
+        + _box(b"dinf", _full(b"dref", 0, 0, (1).to_bytes(4, "big")
+                              + _full(b"url ", 0, 1, b"")))
+        + _box(b"stbl", stbl)
+    )
+    mdia = (
+        _full(b"mdhd", 0, 0, bytes(8) + (1000).to_bytes(4, "big")
+              + dur.to_bytes(4, "big") + (0x55C4).to_bytes(2, "big") + bytes(2))
+        + _full(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12) + b"VideoHandler\x00")
+        + _box(b"minf", minf)
+    )
+    tkhd = (
+        bytes(8) + (1).to_bytes(4, "big") + bytes(4) + dur.to_bytes(4, "big")
+        + bytes(8) + bytes(2) * 2 + bytes(2) + bytes(2)
+        + _MP4_UNITY_MATRIX
+        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    )
+    mvhd = (
+        bytes(8) + (1000).to_bytes(4, "big") + dur.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big") + bytes(10)
+        + _MP4_UNITY_MATRIX + bytes(24) + (2).to_bytes(4, "big")
+    )
+    moov = _box(
+        b"moov",
+        _full(b"mvhd", 0, 0, mvhd)
+        + _box(b"trak", _full(b"tkhd", 0, 7, tkhd) + _box(b"mdia", mdia)),
+    )
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in [start, end)."""
+    p = start
+    while p + 8 <= end:
+        size = int.from_bytes(data[p : p + 4], "big")
+        btype = data[p + 4 : p + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(data[p + 8 : p + 16], "big")
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - p
+        yield btype, p + hdr, p + size
+        p += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list):
+    """Descend a box path (e.g. [b'moov', b'trak', ...]); returns (s, e) of
+    the FIRST match or None."""
+    if not path:
+        return start, end
+    for btype, s, e in _mp4_boxes(data, start, end):
+        if btype == path[0]:
+            got = _mp4_find(data, s, e, path[1:])
+            if got is not None:
+                return got
+    return None
+
+
+def decode_mjpeg_mp4(payload: bytes) -> np.ndarray:
+    """Motion-JPEG MP4 -> (n, h, w, 3) uint8 RGB frames. Walks the BMFF
+    sample tables (stsz/stco|co64/stsc) of the first video track and
+    decodes each 'jpeg' sample with decode_jpeg; other codecs raise."""
+    d = payload
+    trak = None
+    moov = _mp4_find(d, 0, len(d), [b"moov"])
+    if moov is None:
+        raise ValueError("not an MP4 (no moov box)")
+    for btype, s, e in _mp4_boxes(d, *moov):
+        if btype != b"trak":
+            continue
+        hd = _mp4_find(d, s, e, [b"mdia", b"hdlr"])
+        if hd and d[hd[0] + 8 : hd[0] + 12] == b"vide":
+            trak = (s, e)
+            break
+    if trak is None:
+        raise ValueError("MP4 has no video track")
+    stbl = _mp4_find(d, *trak, [b"mdia", b"minf", b"stbl"])
+    if stbl is None:
+        raise ValueError("video track missing stbl")
+    boxes = {btype: (s, e) for btype, s, e in _mp4_boxes(d, *stbl)}
+
+    s, _e = boxes[b"stsd"]
+    fourcc = d[s + 12 : s + 16]
+    if fourcc not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"MP4 sample format {fourcc!r} needs external codecs; only "
+            "Motion-JPEG ('jpeg'/'mjpa') decodes natively"
+        )
+
+    s, _e = boxes[b"stsz"]
+    uniform = int.from_bytes(d[s + 4 : s + 8], "big")
+    n = int.from_bytes(d[s + 8 : s + 12], "big")
+    sizes = (
+        [uniform] * n
+        if uniform
+        else [int.from_bytes(d[s + 12 + 4 * i : s + 16 + 4 * i], "big") for i in range(n)]
+    )
+
+    key = b"stco" if b"stco" in boxes else b"co64"
+    s, _e = boxes[key]
+    nch = int.from_bytes(d[s + 4 : s + 8], "big")
+    width_b = 4 if key == b"stco" else 8
+    chunk_offs = [
+        int.from_bytes(d[s + 8 + width_b * i : s + 8 + width_b * (i + 1)], "big")
+        for i in range(nch)
+    ]
+
+    s, _e = boxes[b"stsc"]
+    nent = int.from_bytes(d[s + 4 : s + 8], "big")
+    stsc = [
+        (
+            int.from_bytes(d[s + 8 + 12 * i : s + 12 + 12 * i], "big"),
+            int.from_bytes(d[s + 12 + 12 * i : s + 16 + 12 * i], "big"),
+        )
+        for i in range(nent)
+    ]
+
+    frames = []
+    si = 0
+    for ci in range(1, nch + 1):
+        spc = 0
+        for first, cnt in stsc:
+            if first <= ci:
+                spc = cnt
+        off = chunk_offs[ci - 1]
+        for _ in range(spc):
+            if si >= n:
+                break
+            frames.append(decode_jpeg(d[off : off + sizes[si]]))
+            off += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError(f"sample walk found {si} of {n} samples")
+    return np.stack(frames)
+
+
 def real_media_rows(n: int, seed: int = 42) -> list:
     """Deterministic media rows with REAL payload encodings (PPM/BMP/WAV) —
     pure NumPy, shared by make_real_media and the driver's VALUES oracle."""
@@ -961,6 +1158,29 @@ def real_video_rows(n: int, seed: int = 42) -> list:
             (i, bytearray(payload), ("video", "y4m", w, h, nf, None, nf * 40))
         )
     return rows
+
+
+def real_mp4_rows(n: int, seed: int = 42) -> list:
+    """Deterministic video rows with REAL Motion-JPEG MP4 payloads — pure
+    NumPy (BMFF mux + per-frame baseline JPEG), shared by make_real_mp4 and
+    the driver's VALUES oracle. Frame counts, dims and quant vary per row
+    so the sample-table walk and per-frame dequant paths are covered."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        nf = 2 + (i % 4)
+        h, w = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+        frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        payload = encode_mjpeg_mp4(frames, fps=25, quant=1 + (i % 2) * 3)
+        rows.append(
+            (i, bytearray(payload), ("video", "mp4", w, h, nf, None, nf * 40))
+        )
+    return rows
+
+
+def make_real_mp4(spark, n: int, seed: int = 42) -> DataFrame:
+    """Video table whose payloads are REAL Motion-JPEG MP4 encodings."""
+    return spark.createDataFrame(real_mp4_rows(n, seed), schema=MEDIA_SCHEMA)
 
 
 def make_real_video(spark, n: int, seed: int = 42) -> DataFrame:
@@ -1194,11 +1414,12 @@ def media_features(df: DataFrame) -> DataFrame:
 def frame_sample(df: DataFrame, every_n: int = 5, fake: bool = False) -> DataFrame:
     """Video frame sampling.
 
-    fake=False (default): REALLY decodes Y4M payloads (pure-NumPy container
-    parser above) and emits one row per sampled frame with its YCbCr pixel
-    tensor: (media_id, frame_idx, height, width, pixels array<int>).
-    Compressed containers (mp4 etc.) raise inside the task — they need
-    external codecs. The payload is touched once per video and only
+    fake=False (default): REALLY decodes Y4M payloads (YCbCr tensors) and
+    Motion-JPEG MP4 payloads (RGB tensors) with the pure-NumPy container
+    parsers above, one row per sampled frame: (media_id, frame_idx,
+    height, width, pixels array<int>). H.264/HEVC MP4s raise inside the
+    task — those need external codecs. The payload is touched once per
+    video and only
     fixed-size frame rows leave the partition (mapInPandas, no shuffle).
 
     fake=True: metadata-only face — one (media_id, frame_idx) row per
@@ -1219,12 +1440,16 @@ def frame_sample(df: DataFrame, every_n: int = 5, fake: bool = False) -> DataFra
         for pdf in it:
             mids, idxs, hs, ws, pix = [], [], [], [], []
             for mid, p, fmt in zip(pdf["media_id"], pdf["payload"], pdf["format"]):
-                if fmt != "y4m":
+                if fmt == "y4m":
+                    frames = decode_y4m(bytes(p))  # YCbCr planes
+                elif fmt == "mp4":
+                    frames = decode_mjpeg_mp4(bytes(p))  # RGB frames
+                else:
                     raise NotImplementedError(
                         f"decoding {fmt!r} video requires external codecs "
-                        "(not in this container); only y4m decodes natively"
+                        "(not in this container); y4m and Motion-JPEG mp4 "
+                        "decode natively"
                     )
-                frames = decode_y4m(bytes(p))
                 for fi in range(0, frames.shape[0], every_n):
                     mids.append(mid)
                     idxs.append(fi)

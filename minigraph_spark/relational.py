@@ -1928,6 +1928,56 @@ def _frame_digest_rows(n: int, seed: int, every_n: int) -> list:
     return out
 
 
+N_REAL_MP4 = 8
+_REAL_MP4_SEED = 29
+
+
+def _q_decode_mp4_real(spark, sf_dir):
+    """REAL Motion-JPEG MP4 decode end-to-end: BMFF box walk (moov/trak/
+    stbl sample tables) + per-frame baseline-JPEG decode, digested per
+    video exactly like decode_video_real."""
+    from .operators.multimodal import frame_sample, make_real_mp4, video_digest
+
+    vids = make_real_mp4(spark, N_REAL_MP4, seed=_REAL_MP4_SEED)
+    return video_digest(frame_sample(vids, every_n=1, fake=False))
+
+
+def _decode_mp4_real_sql(n: int = N_REAL_MP4, seed: int = _REAL_MP4_SEED) -> str:
+    """Precomputed VALUES oracle for the REAL MP4 decode — same digest
+    derivation as _decode_video_real_sql, over the seeded MP4 fixture."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+
+    from .operators.multimodal import decode_mjpeg_mp4, real_mp4_rows
+
+    per_video: dict[int, list] = defaultdict(list)
+    for mid, payload, _meta in real_mp4_rows(n, seed):
+        frames = decode_mjpeg_mp4(bytes(payload))
+        for fi in range(frames.shape[0]):
+            px = frames[fi].ravel().astype(np.int64)
+            s = ",".join(str(int(x)) for x in px)
+            per_video[mid].append(
+                (fi, frames.shape[1], frames.shape[2], int(px.sum()),
+                 hashlib.md5(s.encode()).hexdigest())
+            )
+    rows = []
+    for mid in sorted(per_video):
+        fr = sorted(per_video[mid])
+        vmd5 = hashlib.md5(",".join(m for *_rest, m in fr).encode()).hexdigest()
+        rows.append(
+            f"({mid},{len(fr)},{fr[0][1]},{fr[0][2]},{sum(x[3] for x in fr)},'{vmd5}')"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(n_frames AS INTEGER) AS n_frames, "
+        "CAST(height AS INTEGER) AS height, CAST(width AS INTEGER) AS width, "
+        "CAST(px_sum AS BIGINT) AS px_sum, video_md5 "
+        "FROM (VALUES " + ",".join(rows)
+        + ") AS t(media_id, n_frames, height, width, px_sum, video_md5)"
+    )
+
+
 def _frame_sample_real_sql(n: int = N_REAL_VIDEO, seed: int = _REAL_VIDEO_SEED,
                            every_n: int = 2) -> str:
     rows = [
@@ -2347,6 +2397,7 @@ QUERIES = {
     # new in round 4, so also never verified yet
     "decode_png_real": _q_decode_png_real,
     "decode_jpeg_real": _q_decode_jpeg_real,
+    "decode_mp4_real": _q_decode_mp4_real,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2473,6 +2524,7 @@ def build_oracle_sql() -> dict[str, str]:
         "decode_image_real": _decode_image_real_sql(),
         "decode_png_real": _decode_png_real_sql(),
         "decode_jpeg_real": _decode_jpeg_real_sql(),
+        "decode_mp4_real": _decode_mp4_real_sql(),
         "decode_audio_real": _decode_audio_real_sql(),
         "decode_video_real": _decode_video_real_sql(),
         "frame_sample_real": _frame_sample_real_sql(),

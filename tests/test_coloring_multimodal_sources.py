@@ -266,19 +266,24 @@ def test_real_codecs_roundtrip_and_spark_decode(spark):
 
 
 def test_decode_image_unsupported_format_raises(spark):
-    """jpeg stays stubbed: fake=False on jpeg payloads fails inside the
-    task with NotImplementedError; and a png-LABELED row whose payload is
-    NOT a PNG fails the real decoder's signature check, not silently."""
+    """Formats with no native codec raise inside the task; and rows LABELED
+    as a real format whose payload is garbage fail the codec's signature
+    check (jpeg/png), not silently."""
     import pytest
     from pyspark.sql import functions as F
 
     from minigraph_spark.operators.multimodal import decode_image, make_fake_media
 
     media = make_fake_media(spark, 4, seed=3)  # png/jpeg/wav/mp4 formats
-    jpeg = media.filter(F.col("meta.format") == "jpeg")
+    tiff = media.withColumn(
+        "meta", F.col("meta").withField("format", F.lit("tiff"))
+    ).filter(F.col("meta.media_type") == "image")
     # PySpark surfaces the worker-side NotImplementedError as the same type
-    with pytest.raises(Exception, match="PIL|NotImplementedError|decoding"):
-        decode_image(jpeg, fake=False).collect()
+    with pytest.raises(Exception, match="external codec|NotImplementedError"):
+        decode_image(tiff, fake=False).collect()
+    fake_jpeg = media.filter(F.col("meta.format") == "jpeg")  # random bytes
+    with pytest.raises(Exception, match="not a JPEG"):
+        decode_image(fake_jpeg, fake=False).collect()
     fake_png = media.filter(F.col("meta.format") == "png")
     with pytest.raises(Exception, match="not a PNG"):
         decode_image(fake_png, fake=False).collect()
@@ -452,6 +457,53 @@ def test_jpeg_spark_decode_matches_local(spark):
             .astype(np.int64)
         )
         assert np.array_equal(got[mid], want), mid
+
+
+def test_mjpeg_mp4_codec_and_real_frame_sample(spark):
+    """Motion-JPEG MP4 (ISO BMFF mux + per-frame baseline JPEG): box
+    structure, near-lossless roundtrip, wrong-codec raise, and the Spark
+    frame_sample(fake=False) path decoding the real container."""
+    import numpy as np
+
+    from minigraph_spark.operators.multimodal import (
+        decode_mjpeg_mp4,
+        encode_mjpeg_mp4,
+        frame_sample,
+        make_real_mp4,
+        real_mp4_rows,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(5, 24, 16, 3), dtype=np.uint8)
+    mp4 = encode_mjpeg_mp4(frames, quant=1)
+    assert mp4[4:8] == b"ftyp" and b"moov" in mp4 and b"stsz" in mp4
+    out = decode_mjpeg_mp4(mp4)
+    assert out.shape == frames.shape
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 4
+
+    bad = bytearray(mp4)
+    i = bad.find(b"jpeg", bad.find(b"stsd"))
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mjpeg_mp4(bytes(bad))
+
+    # Spark path: every 2nd frame of each fixture video, pixels equal local
+    rows = real_mp4_rows(6, seed=29)
+    got = {}
+    sampled = frame_sample(
+        make_real_mp4(spark, 6, seed=29), every_n=2, fake=False
+    ).collect()
+    for r in sampled:
+        got[(r["media_id"], r["frame_idx"])] = np.array(r["pixels"], np.int64)
+    n_expected = 0
+    for mid, payload, _meta in rows:
+        local = decode_mjpeg_mp4(bytes(payload))
+        for fi in range(0, local.shape[0], 2):
+            n_expected += 1
+            assert np.array_equal(
+                got[(mid, fi)], local[fi].ravel().astype(np.int64)
+            ), (mid, fi)
+    assert len(got) == n_expected
 
 
 def test_y4m_codec_and_real_frame_sample(spark):
