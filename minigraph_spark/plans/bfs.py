@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.superstep import SuperstepEngine, SuperstepResult
+from ..operators.superstep import (
+    SuperstepEngine,
+    SuperstepResult,
+    free_rdd_ids,
+    persistent_rdd_ids,
+)
 
 
 def run_bfs(
@@ -150,6 +155,7 @@ def run_bfs_decremental(
     checkpoint_dir: str | None = None,
     engine_kwargs: dict | None = None,
     batch_fallback_fraction: float | None = 0.5,
+    max_support_rounds: int | None = 8,
 ) -> SuperstepResult:
     """IncEval for BFS/SSSP under edge DELETIONS — the non-monotone
     direction (deletions can only LENGTHEN paths; see run_wcc_decremental
@@ -197,6 +203,17 @@ def run_bfs_decremental(
     abandoned and run_bfs(remaining) runs instead — identical result, cost
     min(affected-region passes, one batch run). None disables the check
     (always localize).
+
+    ``max_support_rounds`` bounds the OTHER regret axis: each support-
+    counting round costs a scan of the tight-edge table, so a cascade that
+    promotes a few vertices per round for hundreds of rounds (measured on
+    64M-edge R-MAT at 0.01% delta — the affected set stays tiny but its
+    dependency chain is deep) costs far more than the ~7-superstep batch
+    BFS it is trying to avoid. A partially-grown affected set is NOT safe
+    to repair from (an unpromoted stale vertex would keep its too-small
+    distance), so on exhaustion the batch recompute runs — identical
+    result, total cost <= max_support_rounds scans + one batch run. None
+    disables the cap (always run the cascade to fixpoint).
     """
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     dele_keys = deleted_edges.select("src", "dst").distinct()
@@ -252,25 +269,28 @@ def run_bfs_decremental(
     )
 
     # 2. Ramalingam-Reps support counting: promote v when ALL its tight
-    # in-edges come from affected vertices
-    visited = seeds.persist()
+    # in-edges come from affected vertices. Each round's `visited` is an
+    # EAGER localCheckpoint, not a persist: the union chain otherwise
+    # grows Catalyst re-analysis ~4x per round (superstep.py finding #1 —
+    # measured here too: the persist() variant spent minutes of pure
+    # driver time by round 8 and crawled for hours at 64M edges), and the
+    # previous round's blocks are freed explicitly because unpersist() is
+    # a no-op on localCheckpoints.
+    spark = edges.sparkSession
+    _pre_ids = persistent_rdd_ids(spark)
+    visited = seeds.localCheckpoint(eager=True)
+    visited_ids = persistent_rdd_ids(spark) - _pre_ids
     n_visited = visited.count()
     fallback_at = (
         batch_fallback_fraction * prev.count()
         if batch_fallback_fraction is not None
         else None
     )
-    for _ in range(max_iter):
+    support_rounds = max_support_rounds if max_support_rounds is not None else max_iter
+    converged = False
+    for _r in range(support_rounds):
         if fallback_at is not None and n_visited > fallback_at:
-            visited.unpersist()
-            tight.unpersist()
-            res = run_bfs(
-                remaining, root=root, max_iter=max_iter,
-                weight_col=weight_col, checkpoint_dir=checkpoint_dir,
-                engine_kwargs=engine_kwargs,
-            )
-            remaining.unpersist()
-            return res
+            break  # affected region too large — batch is cheaper
         # tight edges out of the current affected set, grouped per dst
         from_aff = (
             tight.join(visited.withColumnRenamed("vid", "src"), "src", "left_semi")
@@ -293,14 +313,29 @@ def run_bfs_decremental(
         )
         if newly.count() == 0:
             newly.unpersist()
+            converged = True
             break
         # disjoint by the anti-join above — plain union, no dedup shuffle
-        grown = visited.unionAll(newly).persist()
+        _pre_ids = persistent_rdd_ids(spark)
+        grown = visited.unionAll(newly).localCheckpoint(eager=True)
+        grown_ids = persistent_rdd_ids(spark) - _pre_ids
         n_visited = grown.count()
         newly.unpersist()
-        visited.unpersist()
-        visited = grown
+        free_rdd_ids(spark, visited_ids)
+        visited, visited_ids = grown, grown_ids
     tight.unpersist()
+    if not converged:
+        # cascade unconverged (deep dependency chain) or region too large:
+        # a partial affected set would leave stale distances in place, so
+        # the only exact option is the fresh batch run
+        free_rdd_ids(spark, visited_ids)
+        res = run_bfs(
+            remaining, root=root, max_iter=max_iter,
+            weight_col=weight_col, checkpoint_dir=checkpoint_dir,
+            engine_kwargs=engine_kwargs,
+        )
+        remaining.unpersist()
+        return res
 
     eng = SuperstepEngine(remaining, checkpoint_dir=checkpoint_dir,
                           **(engine_kwargs or {}))
@@ -358,7 +393,7 @@ def run_bfs_decremental(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs_decremental",
     )
-    visited.unpersist()
+    free_rdd_ids(spark, visited_ids)
     remaining.unpersist()
     eng.close()
     return res

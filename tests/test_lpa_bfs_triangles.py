@@ -265,6 +265,33 @@ def test_deterministic_walks_sink_stop_and_reproducibility(spark):
     assert rows == again
 
 
+def test_bfs_decremental_deep_cascade_round_cap(spark):
+    """A path graph is the worst case for support counting: cutting one
+    edge makes every downstream vertex lose its only tight parent, ONE
+    PER ROUND. With the cascade deeper than max_support_rounds the
+    batch fallback must fire and still produce the exact remaining-graph
+    distances; the uncapped run (None) must reach the same state through
+    the full cascade (bounded per-round cost: the loop localCheckpoints
+    each round, so deep cascades cannot re-trigger the Catalyst
+    re-analysis blowup this test originally caught)."""
+    import numpy as np
+
+    from minigraph_spark.plans.bfs import run_bfs_decremental
+
+    k = 20
+    arr = np.array([(i, i + 1) for i in range(k)], dtype=np.int64)
+    edges = _spark_edges(spark, arr)
+    prev = run_bfs(edges, root=0, engine_kwargs={"salt_skew": False})
+    dele = _spark_edges(spark, arr[10:11])  # cut (10, 11): 9-deep cascade
+    want = {i: i for i in range(11)}  # 0..10 reachable; 11..19 NULL
+    for cap in (8, None):
+        res = run_bfs_decremental(edges, dele, prev.state, root=0,
+                                  engine_kwargs={"salt_skew": False},
+                                  max_support_rounds=cap)
+        got = {k2: v for k2, v in labels_dict(res.state).items() if v is not None}
+        assert got == want, f"max_support_rounds={cap}: {got}"
+
+
 def test_bfs_sssp_decremental_equals_batch_on_remaining(spark):
     """Deletion IncEval for distances == batch on (edges \\ deleted), unit
     and weighted, including paths that must LENGTHEN through the affected
