@@ -13,10 +13,11 @@ interpretable as a distribution.)
 
 Scale shape: inherently TWO shuffles per iteration (one per phase — each
 phase is a scatter join + a sum combine, exactly the superstep engine's
-per-iteration cost, doubled). The edge table is hash-partitioned ONCE per
-join side (by src for the auth phase, by dst for the hub phase) and both
-copies persist serialized, so each phase's scatter join is exchange-free on
-the E-row side and only the V-row state shuffles. Normalization totals are
+per-iteration cost, doubled). The edge table is hash-partitioned once by
+src and persists serialized (edge_cache="single", the measured default —
+see run_hits), making the auth phase's scatter join exchange-free on the
+E-row side; edge_cache="dual" additionally pins a dst-partitioned copy so
+the hub phase is exchange-free too, at 2× the resident edge bytes. Normalization totals are
 1-row broadcasts inside the plan (the dangling-mass device from
 plans/pagerank.py) — no driver collect in the loop. Lineage is truncated
 per iteration with an eager localCheckpoint + previous-round block free
@@ -48,7 +49,7 @@ def run_hits(
     tol: float | None = None,
     max_iter: int = 100,
     num_partitions: int | None = None,
-    edge_cache: str = "dual",
+    edge_cache: str = "single",
 ) -> HitsResult:
     """HITS over the directed simple edge set (duplicate edges are deduped;
     self-loops kept — they are legitimate hub-to-own-authority mass and the
@@ -59,15 +60,17 @@ def run_hits(
     max(|Δauth|, |Δhub|) <= tol or max_iter.
 
     ``edge_cache`` trades resident memory against per-sweep shuffle:
-    "dual" (default) pins TWO prepartitioned edge copies (by src and by
-    dst) so BOTH phase joins are exchange-free on the E-row side — 2× the
-    serialized edge bytes, the right call whenever sweeps dominate setup;
-    "single" pins only the src-partitioned copy and lets the hub phase
-    re-shuffle the E rows on dst every sweep — half the resident edge
-    memory, for memory-pressed deployments or very low sweep counts.
-    Measured at 256M edges / 3 sweeps (BASELINE.md HITS row): dual wins
-    end-to-end as soon as sweeps > 1; the per-sweep E-row exchange costs
-    more than the second cache's one-time build.
+    "dual" pins TWO prepartitioned edge copies (by src and by dst) so BOTH
+    phase joins are exchange-free on the E-row side — 2× the serialized
+    edge bytes; "single" (default) pins only the src-partitioned copy and
+    lets the hub phase re-shuffle the E rows on dst every sweep — half the
+    resident edge memory. Measured three times at 256M edges / 3 sweeps
+    (BASELINE.md round-4 HITS rows): dual 310.9 s/sweep (load 33.9),
+    single 275.0 s/sweep (load 31.6), dual re-read 270.3 s/sweep (load
+    30.8) — wall parity within this sandbox's co-tenant noise, so the
+    halved resident cache decides the default (at 10^9 edges the second
+    copy doubles the serialized block set, the round-3 memory concern).
+    Pick "dual" when sweeps ≫ setup AND memory headroom is ample.
     """
     if (iters is None) == (tol is None):
         raise ValueError("pass exactly one of iters= or tol=")

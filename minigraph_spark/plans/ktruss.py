@@ -132,11 +132,26 @@ def _run_ktruss_incremental(
 
     Scale shape: round 0 pays one full triangle enumeration (the same
     oriented-intersection plan as method="full"); each later round costs
-    one 2E-row adjacency groupBy plus an intersection join whose left side
-    is only the dropped edges — on deep peels (the expensive case) this
-    replaces R quadratic-volume enumerations with R dropped-local passes.
-    Same eager-localCheckpoint-per-round discipline (the support plan
-    references the state multiply; see run_ktruss's lineage comment)."""
+    an adjacency groupBy RESTRICTED to the dropped edges' endpoints (semi
+    join before the aggregate, so the shuffle is ∝ touched degree, not 2E)
+    plus an intersection join whose left side is only the dropped edges —
+    on deep peels (the expensive case) this replaces R quadratic-volume
+    enumerations with R dropped-local passes.
+
+    Heavy-drop rounds fall back to re-enumeration: when a round drops more
+    than a quarter of the alive edges (typical for round 1 of a deep peel
+    on a power-law graph), the maintenance pass is strictly worse than one
+    full enumeration of the survivors — the dying-triangle set approaches
+    ALL triangles, but unlike the oriented enumeration (quadratic volume
+    inside row arrays, each triangle produced once) it ships hub-sized
+    adjacency arrays through a join and dedups exploded triples with a
+    distinct. The un-hybridized form ENOSPC'd a 252 GB disk on the 64M-edge
+    k=10 peel (round-4 evidence pass 3) exactly there; the fallback bounds
+    every round by the full method's round cost while keeping the
+    dropped-local win on the deep tail, where rounds are many and drops
+    are small. Same eager-localCheckpoint-per-round discipline (the
+    support plan references the state multiply; see run_ktruss's lineage
+    comment)."""
     spark = edges.sparkSession
     before = persistent_rdd_ids(spark)
     cur = (
@@ -162,18 +177,53 @@ def _run_ktruss_incremental(
     )
     alive_ids = persistent_rdd_ids(spark) - before
     free_rdd_ids(spark, cur_ids)
+    n_alive = alive.count()
 
     for _ in range(max_rounds):
         dropped = alive.filter(F.col("support") < k - 2)
-        if dropped.limit(1).count() == 0:
+        n_dropped = dropped.count()
+        if n_dropped == 0:
             break
         survivors = alive.filter(F.col("support") >= k - 2)
+        if 4 * n_dropped > n_alive:
+            # heavy-drop round: one full enumeration of the survivors is
+            # cheaper (and far smaller on disk) than maintaining supports
+            # through a near-total dying-triangle set — see the docstring
+            before = persistent_rdd_ids(spark)
+            surv = survivors.select("src", "dst")
+            nxt = (
+                surv.join(_edge_support(surv), ["src", "dst"], "left")
+                .select(
+                    "src", "dst",
+                    F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            nxt_ids = persistent_rdd_ids(spark) - before
+            free_rdd_ids(spark, alive_ids)
+            alive, alive_ids = nxt, nxt_ids
+            n_alive -= n_dropped
+            continue
         # undirected adjacency of the (old) alive closure — dropped edges
-        # included: a dying triangle's third edge may itself be dropped
+        # included: a dying triangle's third edge may itself be dropped.
+        # Only the dropped edges' endpoints are ever looked up, so restrict
+        # BEFORE the groupBy: the aggregate shuffles rows ∝ the touched
+        # vertices' degree, not 2E per round.
+        touched = (
+            dropped.select(F.col("src").alias("vid"))
+            .unionAll(dropped.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
         und = alive.select("src", "dst").unionAll(
             alive.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        adj = und.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        adj = (
+            und.join(
+                touched.withColumnRenamed("vid", "src"), "src", "semi"
+            )
+            .groupBy("src")
+            .agg(F.collect_list("dst").alias("nbrs"))
+        )
         dying = (
             dropped.select("src", "dst")
             .join(
@@ -218,4 +268,5 @@ def _run_ktruss_incremental(
         nxt_ids = persistent_rdd_ids(spark) - before
         free_rdd_ids(spark, alive_ids)
         alive, alive_ids = nxt, nxt_ids
+        n_alive -= n_dropped
     return alive.select("src", "dst")
