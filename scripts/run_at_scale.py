@@ -6,6 +6,7 @@ scale evidence with one command per row:
 
     python scripts/run_at_scale.py --algo pr        --power 27 --edges 1000000000
     python scripts/run_at_scale.py --algo pr_fixed  --power 25 --edges 256000000
+    python scripts/run_at_scale.py --algo pr_resume --power 23 --edges 64000000
     python scripts/run_at_scale.py --algo wcc       --power 27 --edges 1000000000
     python scripts/run_at_scale.py --algo lpa       --power 27 --edges 1000000000
     python scripts/run_at_scale.py --algo tri       --power 25 --edges 256000000 --buckets 4
@@ -59,6 +60,111 @@ def _iter_report(n_edges: int, metrics, wall: float, label: str) -> None:
         f"median {med:.1f}s = {n_edges / med / 1e6:.2f}M e/s/iter; {_load()}",
         flush=True,
     )
+
+
+def _pr_resume_phase(args) -> None:
+    """One JVM of the pr_resume protocol (subprocess target; see run_pr_resume)."""
+    import json
+
+    from minigraph_spark.plans.pagerank import run_pagerank
+
+    spark = _spark(f"prres_{args.phase}_p{args.power}", args.shuffle,
+                   zstd=args.zstd)
+    rmat = spark.read.parquet(args.path)
+    t0 = time.time()
+    if args.phase == "interrupt":
+        # the "kill": a to-convergence run stopped after 2 sweeps, snapshot
+        # every sweep — exactly what a preempted spark-submit leaves behind
+        r = run_pagerank(rmat, tol=1e-6, max_iter=2, checkpoint_dir=args.ck_dir,
+                         engine_kwargs={"checkpoint_every": 1})
+    elif args.phase == "resume":
+        # fresh JVM, same checkpoint dir: load_snapshot restores the newest
+        # complete snapshot and the loop continues to the fixpoint
+        r = run_pagerank(rmat, tol=1e-6, max_iter=200, checkpoint_dir=args.ck_dir,
+                         engine_kwargs={"checkpoint_every": 1})
+    else:  # control: uninterrupted run to the same tolerance
+        r = run_pagerank(rmat, tol=1e-6, max_iter=200)
+    wall = time.time() - t0
+    out = None
+    if args.phase in ("resume", "control"):
+        # dump the final (vid, value) state; the parent compares the two
+        # dumps with DuckDB at the kill-resume contract tolerance
+        # (tests/test_checkpoint.py: allclose atol 1e-12 — bit-equality is
+        # NOT the contract, because shuffle combine order is not
+        # deterministic across independent runs)
+        out = f"{args.ck_dir}_{args.phase}_state.parquet"
+        r.state.select("vid", "value").write.mode("overwrite").parquet(out)
+    rows = r.state.count()
+    print("PHASE_RESULT " + json.dumps({
+        "phase": args.phase, "iterations": r.iterations,
+        "converged": bool(r.converged), "wall_s": round(wall, 1),
+        "rows": int(rows), "state_path": out,
+    }), flush=True)
+    spark.stop()
+
+
+def run_pr_resume(args) -> None:
+    """North-rule resumability AT SCALE (the pytest kill-resume contract,
+    tests/test_checkpoint.py, replayed on the evidence fixture): interrupt a
+    converging PageRank after 2 sweeps, resume it in a FRESH JVM from the
+    parquet snapshot (per-partition lineage manifest + metrics.jsonl), and
+    prove the resumed fixpoint is bit-identical to an uninterrupted control
+    run. One subprocess per phase = one JVM per phase, the same boundary a
+    spark-submit restart crosses."""
+    import json
+    import shutil
+    import subprocess
+
+    ck = f"/tmp/minigraph_ck_resume_p{args.power}_e{args.edges}"
+    shutil.rmtree(ck, ignore_errors=True)
+    me = os.path.abspath(__file__)
+    results = {}
+    for phase in ("interrupt", "resume", "control"):
+        cmd = [sys.executable, me, "--algo", "pr_resume", "--phase", phase,
+               "--ck-dir", ck, "--power", str(args.power),
+               "--edges", str(args.edges), "--seed", str(args.seed),
+               "--shuffle", str(args.shuffle)]
+        if args.zstd:
+            cmd.append("--zstd")
+        print(f"--- phase {phase} ({_load()}) ---", flush=True)
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith(("PHASE_RESULT", "gen/ensure")):
+                print(line, flush=True)
+            if line.startswith("PHASE_RESULT "):
+                results[phase] = json.loads(line[len("PHASE_RESULT "):])
+        if phase not in results:
+            print(out.stdout[-2000:] + out.stderr[-2000:], flush=True)
+            raise SystemExit(f"phase {phase} produced no result (rc={out.returncode})")
+    snaps = sorted(d for d in os.listdir(ck) if d.startswith("iter="))
+    metrics = sum(1 for _ in open(os.path.join(ck, "metrics.jsonl")))
+    res, ctl = results["resume"], results["control"]
+    # the kill-resume contract (tests/test_checkpoint.py): same vid set,
+    # values allclose atol 1e-12 — compared out-of-JVM with DuckDB
+    import duckdb
+
+    cmp = duckdb.sql(
+        f"SELECT count(*) AS n, "
+        f"  sum(CASE WHEN a.vid IS NULL OR b.vid IS NULL THEN 1 ELSE 0 END) AS missing, "
+        f"  max(abs(a.value - b.value)) AS max_abs_diff "
+        f"FROM '{res['state_path']}/*.parquet' a "
+        f"FULL OUTER JOIN '{ctl['state_path']}/*.parquet' b USING (vid)"
+    ).fetchone()
+    n, missing, max_diff = int(cmp[0]), int(cmp[1] or 0), float(cmp[2])
+    ok = missing == 0 and n == ctl["rows"] and max_diff <= 1e-12
+    print(
+        f"pr_resume: interrupted after {results['interrupt']['iterations']} sweeps "
+        f"({results['interrupt']['wall_s']}s); resumed in a fresh JVM from "
+        f"snapshot, converged={res['converged']} at total sweep "
+        f"{res['iterations']} ({res['wall_s']}s); control {ctl['iterations']} "
+        f"sweeps uninterrupted ({ctl['wall_s']}s); snapshots={len(snaps)} "
+        f"(latest {snaps[-1]}); metrics_rows={metrics}; "
+        f"resume==control: {ok} (rows {n}, missing {missing}, "
+        f"max|diff| {max_diff:.2e}, contract atol 1e-12); {_load()}",
+        flush=True,
+    )
+    if not ok:
+        raise SystemExit("RESUME MISMATCH")
 
 
 def run_pr(args, converged: bool) -> None:
@@ -396,9 +502,14 @@ FROM od
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--algo", required=True,
-                    choices=["pr", "pr_fixed", "wcc", "lpa", "tri", "kcore", "scc",
-                             "anf", "wedges", "wcc_dec", "bfs_dec", "hits",
-                             "ktruss", "linkpred"])
+                    choices=["pr", "pr_fixed", "pr_resume", "wcc", "lpa", "tri",
+                             "kcore", "scc", "anf", "wedges", "wcc_dec",
+                             "bfs_dec", "hits", "ktruss", "linkpred"])
+    ap.add_argument("--phase", choices=["interrupt", "resume", "control"],
+                    default=None, help="pr_resume internal: run ONE phase in "
+                    "this JVM (the parent spawns one subprocess per phase)")
+    ap.add_argument("--ck-dir", default=None,
+                    help="pr_resume internal: checkpoint dir shared by phases")
     ap.add_argument("--power", type=int, default=25)
     ap.add_argument("--edges", type=int, default=256_000_000)
     ap.add_argument("--seed", type=int, default=42)
@@ -452,6 +563,8 @@ def main() -> None:
     {
         "pr": lambda a: run_pr(a, converged=True),
         "pr_fixed": lambda a: run_pr(a, converged=False),
+        "pr_resume": lambda a: (_pr_resume_phase(a) if a.phase
+                                else run_pr_resume(a)),
         "wcc": run_wcc_scale,
         "lpa": run_lpa_scale,
         "tri": run_tri,
