@@ -65,3 +65,58 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     out.count()
     canon.unpersist()
     return out
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the same canonical undirected simple
+    closure modularity uses:
+
+        phi(c) = cut(c) / min(vol(c), 2m - vol(c))
+
+    cut(c) = edges with exactly one endpoint labeled c, vol(c) = summed
+    degree of c's members, m = |undirected edges|. Low phi = well-separated
+    community; the standard partner score to modularity (which rewards
+    density, while conductance penalizes boundary).
+
+    Returns one row per community: (label, cut, vol, conductance), with
+    conductance defined as 0.0 when min(vol, 2m - vol) = 0 (a community
+    holding every endpoint has no outside to leak to). Assumes ``labels``
+    covers every vertex of the closure (LPA/WCC output does); edges with an
+    unlabeled endpoint are dropped by the inner joins, matching
+    modularity's unlabeled-periphery treatment.
+
+    Scale shape: identical to modularity — one E-row double label join, one
+    V-row label join, all aggregates map-side combinable, no iteration.
+    """
+    canon = symmetrize(edges).filter(F.col("src") < F.col("dst")).persist()
+    m = canon.count()
+    lab = labels.select("vid", "label")
+    both = canon.join(
+        lab.withColumnsRenamed({"vid": "src", "label": "_ls"}), "src"
+    ).join(lab.withColumnsRenamed({"vid": "dst", "label": "_ld"}), "dst")
+    cut = (
+        both.filter(F.col("_ls") != F.col("_ld"))
+        # a boundary edge is a cut edge for BOTH sides' communities
+        .select(F.explode(F.array("_ls", "_ld")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    deg = (
+        canon.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    vol = deg.join(lab, "vid").groupBy("label").agg(F.sum("deg").alias("vol"))
+    denom = F.least(F.col("vol"), F.lit(2 * m) - F.col("vol"))
+    out = vol.join(cut, "label", "left").select(
+        "label",
+        F.coalesce("cut", F.lit(0)).alias("cut"),
+        "vol",
+        F.when(denom > 0, F.coalesce("cut", F.lit(0)) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("conductance"),
+    )
+    out = out.persist()
+    out.count()
+    canon.unpersist()
+    return out

@@ -47,6 +47,38 @@ def distinct_vertex_count(edges: DataFrame, approx: bool = False) -> DataFrame:
     return v.distinct().agg(F.count(F.lit(1)).alias("num_vertices"))
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_reciprocal, reciprocity): the fraction of
+    distinct directed links (self-loops excluded) whose reverse link also
+    exists — the standard directed-graph reciprocity (nx.reciprocity).
+    On a transcript link graph this measures back-and-forth reference
+    structure (A cites B and B cites A).
+
+    Scale shape: one distinct (shuffle on (src,dst)) + one left-semi
+    self-join against the reversed edge set (both sides hash-partition on
+    the same composite key) — two shuffles, no iteration, no explode.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    n = e.count()
+    if n == 0:
+        e.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [(0, 0, 0.0)], "n_edges long, n_reciprocal long, reciprocity double"
+        )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_rec = e.join(rev, ["src", "dst"], "left_semi").count()
+    e.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(n, n_rec, n_rec / n)],
+        "n_edges long, n_reciprocal long, reciprocity double",
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """One row (assortativity): Pearson correlation of endpoint degrees over
     the symmetrized simple undirected closure — each undirected edge

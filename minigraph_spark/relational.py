@@ -1497,6 +1497,72 @@ FROM degc LEFT JOIN ein e ON e.label = degc.label CROSS JOIN m
 """
 
 
+def _q_conductance(spark, sf_dir):
+    """Per-community conductance of the same 2-iteration LPA partition the
+    modularity key scores — cut / min(vol, 2m - vol) per label."""
+    from .plans.modularity import conductance
+
+    res = run_lpa(mod_edges(spark, sf_dir), max_iter=2,
+                  engine_kwargs={"salt_skew": False})
+    labels = res.state.select("vid", F.col("value").alias("label"))
+    phi = conductance(mod_edges(spark, sf_dir), labels)
+    return phi.select("label", "cut", "vol",
+                      F.round("conductance", 6).alias("conductance"))
+
+
+def _conductance_sql() -> str:
+    """Mirrors plans/modularity.py::conductance over the lpa2_mod labels:
+    a boundary edge counts toward BOTH sides' cuts; vol = summed member
+    degree of the canonical undirected closure."""
+    return f"""
+WITH labels AS MATERIALIZED ({_lpa2_sql()}),
+edges AS MATERIALIZED ({MOD_SQL}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM canon),
+lab2 AS (SELECT l1.label AS ls, l2.label AS ld
+         FROM canon c JOIN labels l1 ON l1.vid = c.src
+         JOIN labels l2 ON l2.vid = c.dst),
+cut AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+          SELECT ls AS label FROM lab2 WHERE ls <> ld
+          UNION ALL SELECT ld FROM lab2 WHERE ls <> ld)
+        GROUP BY label),
+deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon)
+        GROUP BY v),
+vol AS (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS vol
+        FROM deg d JOIN labels l ON l.vid = d.v GROUP BY l.label)
+SELECT v.label, COALESCE(c.cut, 0) AS cut, v.vol AS vol,
+       ROUND(CASE WHEN LEAST(v.vol, 2 * m.c - v.vol) > 0
+             THEN CAST(COALESCE(c.cut, 0) AS DOUBLE)
+                  / LEAST(v.vol, 2 * m.c - v.vol)
+             ELSE 0.0 END, 6) AS conductance
+FROM vol v LEFT JOIN cut c USING (label) CROSS JOIN m
+"""
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Directed reciprocity of the mod graph: fraction of distinct
+    non-loop links whose reverse link exists."""
+    from .plans.stats import reciprocity
+
+    r = reciprocity(mod_edges(spark, sf_dir))
+    return r.select("n_edges", "n_reciprocal",
+                    F.round("reciprocity", 6).alias("reciprocity"))
+
+
+_RECIPROCITY_SQL = f"""
+WITH edges AS MATERIALIZED ({MOD_SQL}),
+d AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_edges,
+       r.c AS n_reciprocal,
+       ROUND(CAST(r.c AS DOUBLE) / (SELECT COUNT(*) FROM d), 6) AS reciprocity
+FROM r
+"""
+
+
 EMB_DIM = 64
 
 
@@ -2450,6 +2516,8 @@ QUERIES = {
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
     "modularity_lpa_mod": _q_modularity,
+    "conductance_lpa_mod": _q_conductance,
+    "reciprocity_mod": _q_reciprocity,
     "neighbor_emb_mean": _q_neighbor_emb,
     "wcc_components_snr": _q_wcc_snr,
     "wcc_csr_components_snr": _q_wcc_csr_snr,
@@ -2702,6 +2770,8 @@ _ORACLE_SQL_STATIC = {
     "pagerank_minigraph3_mod": _pagerank_minigraph3_sql(),
     "lpa2_mod": _lpa2_sql(),
     "modularity_lpa_mod": _modularity_sql(),
+    "conductance_lpa_mod": _conductance_sql(),
+    "reciprocity_mod": _RECIPROCITY_SQL,
     "neighbor_emb_mean": _neighbor_emb_sql(),
     "wcc_components_snr": _WCC_SNR_SQL,
     "wcc_csr_components_snr": _WCC_SNR_SQL,

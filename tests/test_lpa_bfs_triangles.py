@@ -645,6 +645,54 @@ def test_modularity_two_cliques(spark):
     assert modularity(empty, ldf).collect()[0][0] == 0.0
 
 
+def test_conductance_two_cliques(spark):
+    from minigraph_spark.plans.modularity import conductance
+
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    # two 4-cliques + one bridge: m=13, vol(c)=13 each (3*4+1 bridge
+    # endpoint), cut(c)=1 each, min(vol, 2m-vol)=13
+    edges = clique(range(4)) + clique(range(10, 14)) + [(3, 10)]
+    labels = [(v, 0) for v in range(4)] + [(v, 1) for v in range(10, 14)]
+    ldf = spark.createDataFrame(labels, "vid long, label long")
+    rows = {r["label"]: r
+            for r in conductance(_spark_edges(spark, np.array(edges)), ldf).collect()}
+    assert set(rows) == {0, 1}
+    for c in (0, 1):
+        assert rows[c]["cut"] == 1 and rows[c]["vol"] == 13
+        assert abs(rows[c]["conductance"] - 1 / 13) < 1e-12
+
+    # single community holding all endpoints: cut=0, min(vol, 2m-vol)=0 -> 0.0
+    one = spark.createDataFrame(
+        [(v, 9) for v in list(range(4)) + list(range(10, 14))],
+        "vid long, label long",
+    )
+    rows1 = conductance(_spark_edges(spark, np.array(edges)), one).collect()
+    assert len(rows1) == 1
+    assert rows1[0]["cut"] == 0 and rows1[0]["conductance"] == 0.0
+
+
+def test_reciprocity_tiny(spark):
+    import pandas as pd
+
+    from minigraph_spark.plans.stats import reciprocity
+
+    # distinct non-loop links: 0->1, 1->0, 1->2 (the 2->2 loop and the
+    # duplicate 0->1 are dropped); reciprocal pair covers 2 of 3 links
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 1, 2, 0], "dst": [1, 0, 2, 2, 1]}),
+        schema="src long, dst long",
+    )
+    r = reciprocity(df).collect()[0]
+    assert r["n_edges"] == 3 and r["n_reciprocal"] == 2
+    assert abs(r["reciprocity"] - 2 / 3) < 1e-12
+
+    empty = _spark_edges(spark, np.empty((0, 2), dtype=np.int64))
+    r0 = reciprocity(empty).collect()[0]
+    assert (r0["n_edges"], r0["n_reciprocal"], r0["reciprocity"]) == (0, 0, 0.0)
+
+
 def test_neighbor_feature_mean_tiny(spark):
     from minigraph_spark.operators.feature_agg import neighbor_feature_mean
 
