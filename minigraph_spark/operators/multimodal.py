@@ -1277,9 +1277,9 @@ def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32, fake: bool = False) -> DataFrame:
     """payload -> decoded pixel tensor via mapInPandas, nearest-resized to
-    (out_h, out_w). fake=False REALLY decodes PPM, BMP and PNG payloads
-    (pure NumPy + stdlib-zlib codecs above); exotic formats need PIL/cv2
-    (not in this container) and raises inside the task. fake=True uses the
+    (out_h, out_w). fake=False REALLY decodes PPM, BMP, PNG and
+    baseline-JPEG payloads (pure NumPy + stdlib-zlib codecs above); exotic
+    formats need PIL/cv2 (not in this container) and raise inside the task. fake=True uses the
     deterministic fixture decoder regardless of format. Output: (media_id,
     height, width, pixels: array<int>) — fixed-size rows, shuffle-friendly.
     """

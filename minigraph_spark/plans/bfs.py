@@ -213,7 +213,9 @@ def run_bfs_decremental(
     to repair from (an unpromoted stale vertex would keep its too-small
     distance), so on exhaustion the batch recompute runs — identical
     result, total cost <= max_support_rounds scans + one batch run. None
-    disables the cap (always run the cascade to fixpoint).
+    raises the cap to ``max_iter`` (the cascade, like every superstep loop
+    here, is never unbounded); a chain deeper than max_iter then still
+    falls back to the batch recompute rather than looping forever.
     """
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     dele_keys = deleted_edges.select("src", "dst").distinct()

@@ -1873,20 +1873,23 @@ def _q_decode_png_real(spark, sf_dir):
     return image_pixel_digest(decode_image(pngs, out_h=8, out_w=8, fake=False))
 
 
-def _decode_png_real_sql(n: int = N_REAL_PNG, seed: int = _REAL_PNG_SEED,
-                         out_h: int = 8, out_w: int = 8) -> str:
-    """Precomputed VALUES oracle for the REAL PNG decode — same digest
-    derivation as _decode_image_real_sql, over the seeded PNG fixture."""
+def _image_digest_values_sql(rows_fn, decode_fn, n: int, seed: int,
+                             out_h: int = 8, out_w: int = 8) -> str:
+    """Precomputed VALUES oracle shared by every REAL still-image decode
+    key: run the SAME NumPy decode the Spark tasks run (no Spark involved),
+    resize, and emit the (media_id, h, w, px_sum, px_md5) digest rows —
+    the _decode_image_real_sql pattern, parameterized so the PNG and JPEG
+    oracles cannot drift apart."""
     import hashlib
 
     import numpy as np
 
-    from .operators.multimodal import _resize_nearest, decode_png, real_png_rows
+    from .operators.multimodal import _resize_nearest
 
     rows = []
-    for mid, payload, _meta in real_png_rows(n, seed):
+    for mid, payload, _meta in rows_fn(n, seed):
         px = (
-            _resize_nearest(decode_png(bytes(payload)), out_h, out_w)
+            _resize_nearest(decode_fn(bytes(payload)), out_h, out_w)
             .ravel()
             .astype(np.int64)
         )
@@ -1900,6 +1903,14 @@ def _decode_png_real_sql(n: int = N_REAL_PNG, seed: int = _REAL_PNG_SEED,
         "CAST(width AS INTEGER) AS width, CAST(px_sum AS BIGINT) AS px_sum, px_md5 "
         "FROM (VALUES " + ",".join(rows) + ") AS t(media_id, height, width, px_sum, px_md5)"
     )
+
+
+def _decode_png_real_sql(n: int = N_REAL_PNG, seed: int = _REAL_PNG_SEED,
+                         out_h: int = 8, out_w: int = 8) -> str:
+    from .operators.multimodal import decode_png, real_png_rows
+
+    return _image_digest_values_sql(real_png_rows, decode_png, n, seed,
+                                    out_h, out_w)
 
 
 N_REAL_JPEG = 12  # real-jpeg fixture: 3 each of RGB444/gray/RGB420/q4+RST
@@ -1923,31 +1934,10 @@ def _q_decode_jpeg_real(spark, sf_dir):
 
 def _decode_jpeg_real_sql(n: int = N_REAL_JPEG, seed: int = _REAL_JPEG_SEED,
                           out_h: int = 8, out_w: int = 8) -> str:
-    """Precomputed VALUES oracle for the REAL JPEG decode — same digest
-    derivation as _decode_png_real_sql, over the seeded JPEG fixture."""
-    import hashlib
+    from .operators.multimodal import decode_jpeg, real_jpeg_rows
 
-    import numpy as np
-
-    from .operators.multimodal import _resize_nearest, decode_jpeg, real_jpeg_rows
-
-    rows = []
-    for mid, payload, _meta in real_jpeg_rows(n, seed):
-        px = (
-            _resize_nearest(decode_jpeg(bytes(payload)), out_h, out_w)
-            .ravel()
-            .astype(np.int64)
-        )
-        s = ",".join(str(int(x)) for x in px)
-        rows.append(
-            f"({mid},{out_h},{out_w},{int(px.sum())},"
-            f"'{hashlib.md5(s.encode()).hexdigest()}')"
-        )
-    return (
-        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(height AS INTEGER) AS height, "
-        "CAST(width AS INTEGER) AS width, CAST(px_sum AS BIGINT) AS px_sum, px_md5 "
-        "FROM (VALUES " + ",".join(rows) + ") AS t(media_id, height, width, px_sum, px_md5)"
-    )
+    return _image_digest_values_sql(real_jpeg_rows, decode_jpeg, n, seed,
+                                    out_h, out_w)
 
 
 def _q_decode_video_real(spark, sf_dir):

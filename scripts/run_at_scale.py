@@ -62,6 +62,16 @@ def _iter_report(n_edges: int, metrics, wall: float, label: str) -> None:
     )
 
 
+def _int_ids_if_rmat(df, args):
+    """int32 vertex ids halve the array bytes inside ktruss/linkpred row
+    arrays — but ONLY the R-MAT fixture's ids fit (vid < 2^power <= 2^30).
+    The chains fixture scrambles ids across 62 bits; a long->int cast there
+    silently wraps and collapses distinct vertices, so keep longs."""
+    if getattr(args, "graph", "rmat") != "rmat":
+        return df.select("src", "dst")
+    return df.selectExpr("cast(src as int) as src", "cast(dst as int) as dst")
+
+
 def _pr_resume_phase(args) -> None:
     """One JVM of the pr_resume protocol (subprocess target; see run_pr_resume)."""
     import json
@@ -150,7 +160,10 @@ def run_pr_resume(args) -> None:
         f"FROM '{res['state_path']}/*.parquet' a "
         f"FULL OUTER JOIN '{ctl['state_path']}/*.parquet' b USING (vid)"
     ).fetchone()
-    n, missing, max_diff = int(cmp[0]), int(cmp[1] or 0), float(cmp[2])
+    # max_abs_diff is NULL when the dumps share no vids (e.g. an empty
+    # phase dump) — treat as infinite distance, not a TypeError
+    n, missing = int(cmp[0]), int(cmp[1] or 0)
+    max_diff = float(cmp[2]) if cmp[2] is not None else float("inf")
     ok = missing == 0 and n == ctl["rows"] and max_diff <= 1e-12
     print(
         f"pr_resume: interrupted after {results['interrupt']['iterations']} sweeps "
@@ -389,9 +402,7 @@ def run_ktruss_scale(args) -> None:
     from minigraph_spark.plans.ktruss import run_ktruss
 
     spark = _spark(f"ktruss_p{args.power}", args.shuffle, zstd=True)
-    rmat = spark.read.parquet(args.path).selectExpr(
-        "cast(src as int) as src", "cast(dst as int) as dst"
-    )
+    rmat = _int_ids_if_rmat(spark.read.parquet(args.path), args)
     n = rmat.count()
     print(f"edges {n}; k {args.k}; method {args.method}; {_load()}", flush=True)
     t0 = time.time()
@@ -421,9 +432,7 @@ def run_linkpred_scale(args) -> None:
     if args.cap < 0:
         cap = DEFAULT_MAX_CENTER_DEGREE
     spark = _spark(f"linkpred_p{args.power}", args.shuffle, zstd=True)
-    rmat = spark.read.parquet(args.path).selectExpr(
-        "cast(src as int) as src", "cast(dst as int) as dst"
-    )
+    rmat = _int_ids_if_rmat(spark.read.parquet(args.path), args)
     n = rmat.count()
     canon = (
         rmat.filter("src <> dst")
