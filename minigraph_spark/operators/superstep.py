@@ -111,6 +111,13 @@ class SuperstepEngine:
         analysis eagerly, even 3 uncut rounds make driver-side analysis
         the bottleneck (measured: 90% of wall time at 200+ iterations).
         The cut itself is one cheap job over the already-cached state.
+    state_storage : "deser" (default) stores per-iteration state blocks
+        deserialized (fastest sweep; the level every BASELINE.md number was
+        measured at). "ser" stores them MEMORY_AND_DISK_SER — ~3-5x smaller
+        heap footprint per row at some ser/deser CPU cost. Use "ser" when
+        |V| rivals |E| (e.g. short transcript chains: a 256M-edge, 20-turn
+        chains graph carries 269M vertices, and the deserialized state
+        blocks alone exceed a 48g driver heap — measured OOM, round 4).
     """
 
     # size-aware parallelism: target edge rows per loop partition. At 16M+
@@ -133,6 +140,7 @@ class SuperstepEngine:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         lineage_cut_every: int = 1,
+        state_storage: str = "deser",
     ):
         spark = edges.sparkSession
         n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -162,6 +170,15 @@ class SuperstepEngine:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.lineage_cut_every = lineage_cut_every
+        if state_storage not in ("deser", "ser"):
+            raise ValueError(f"state_storage must be 'deser' or 'ser', got {state_storage!r}")
+        from pyspark.storagelevel import StorageLevel
+
+        # (useDisk, useMemory, useOffHeap, deserialized)
+        self._state_level = (
+            StorageLevel(True, True, False, True) if state_storage == "deser"
+            else StorageLevel(True, True, False, False)
+        )
         # cadence of the two-job stats-reset round (see run()). The lazy
         # localCheckpoint rewrites stats from the ORIGIN plan, so sizeInBytes
         # multiplies per state reference per round (BigInteger grows
@@ -293,7 +310,7 @@ class SuperstepEngine:
             if found is not None:
                 start_iter = found[0] + 1
                 state = found[1]
-        state = state.persist()
+        state = state.persist(self._state_level)
         state.count()  # materialize
 
         prev_extra: dict = {}
@@ -349,9 +366,11 @@ class SuperstepEngine:
             ids_before = self._persistent_ids()
             reset_round = it % self._stats_reset_every == self._stats_reset_every - 1
             if reset_round:
-                new_state = new_state.persist()
+                new_state = new_state.persist(self._state_level)
             else:
-                new_state = new_state.localCheckpoint(eager=False)
+                new_state = new_state.localCheckpoint(
+                    eager=False, storageLevel=self._state_level
+                )
 
             counts = new_state.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -363,7 +382,9 @@ class SuperstepEngine:
                 prev_extra = {k: counts[k] for k in extra_agg}
 
             if reset_round:
-                truncated = new_state.localCheckpoint(eager=True)
+                truncated = new_state.localCheckpoint(
+                    eager=True, storageLevel=self._state_level
+                )
                 new_state.unpersist()
                 new_state = truncated
             for df in ctx["_unpersist_after"]:

@@ -323,6 +323,7 @@ def run_wcc_dec(args) -> None:
     from minigraph_spark.plans.wcc import run_wcc, run_wcc_decremental
 
     spark = _spark(f"wcc_dec_p{args.power}", args.shuffle, zstd=args.zstd)
+    ekw = {"state_storage": "ser"} if args.state_ser else None
     rmat = spark.read.parquet(args.path)
     n = rmat.count()
     delta = rmat.filter(
@@ -332,12 +333,12 @@ def run_wcc_dec(args) -> None:
     print(f"edges {n}; deleting {n_del} (~{100 * n_del / n:.2f}%); {_load()}",
           flush=True)
     t0 = time.time()
-    prev = run_wcc(rmat)
+    prev = run_wcc(rmat, engine_kwargs=ekw)
     batch_wall = time.time() - t0
     print(f"batch wcc: {batch_wall:.0f}s, {len(prev.metrics)} supersteps; "
           f"{_load()}", flush=True)
     t0 = time.time()
-    dec = run_wcc_decremental(rmat, delta, prev.state)
+    dec = run_wcc_decremental(rmat, delta, prev.state, engine_kwargs=ekw)
     dec.state.count()
     dec_wall = time.time() - t0
     print(f"decremental wcc ({100 / args.delta_mod:g}% delta): {dec_wall:.0f}s "
@@ -554,6 +555,11 @@ def main() -> None:
                          "millions of tiny components)")
     ap.add_argument("--chain-len", type=int, default=20,
                     help="chains: turns per conversation chain")
+    ap.add_argument("--state-ser", action="store_true",
+                    help="wcc_dec: store per-iteration vertex state "
+                         "serialized (engine state_storage='ser') — needed "
+                         "when |V| rivals |E| (short chains at 256M+ edges "
+                         "OOM a 48g heap with deserialized state blocks)")
     ap.add_argument("--zstd", action="store_true",
                     help="zstd shuffle/spill compression (~1.5-2x smaller on id "
                          "data than lz4; tri/kcore always use it) — use when a "

@@ -45,6 +45,23 @@ def test_pagerank_kill_and_resume(spark, tmp_path):
     assert all(np.isclose(a[k], b[k], rtol=0, atol=1e-12) for k in a)
 
 
+def test_state_storage_ser_matches_deser(spark):
+    """state_storage='ser' (serialized state blocks for huge-V graphs) must
+    be a pure storage-level change: identical results to the default."""
+    e = _edges(spark, seed=6).persist()
+    a = run_wcc(e)
+    b = run_wcc(e, engine_kwargs={"state_storage": "ser"})
+    assert _vals(a.state) == _vals(b.state)
+    pa = run_pagerank(e, tol=1e-9, max_iter=12)
+    pb = run_pagerank(e, tol=1e-9, max_iter=12,
+                      engine_kwargs={"state_storage": "ser"})
+    va, vb = _vals(pa.state), _vals(pb.state)
+    assert va.keys() == vb.keys()
+    assert all(
+        np.isclose(va[k], vb[k], rtol=0, atol=0, equal_nan=True) for k in va
+    )
+
+
 def test_wcc_resume_exact(spark, tmp_path):
     e = _edges(spark, seed=4).persist()
     ck = str(tmp_path / "wcc_ck")
