@@ -2476,8 +2476,11 @@ QUERIES = {
     # --- block 3: verified green in round 3 ---
     "seq_edge_projection": _q_seq_edges,
     "tool_edge_projection": events_tool_edges,
-    "degree_out": _q_degree_out,
-    "degrees": _q_degrees,
+    # round-4 additions slotted INSIDE the 50-key window so they get a
+    # driver-green row this round; degree_out/degrees (r03-green, trivially
+    # stable) moved to the tail in exchange
+    "conductance_lpa_mod": _q_conductance,
+    "reciprocity_mod": _q_reciprocity,
     "distinct_vertex_count": _q_distinct_vertex_count,
     "graph_stats": _q_graph_stats,
     "vertex_compaction": _q_vertex_compaction,
@@ -2506,8 +2509,8 @@ QUERIES = {
     "pagerank_minigraph3_mod": _q_pagerank_minigraph3,
     "lpa2_mod": _q_lpa2,
     "modularity_lpa_mod": _q_modularity,
-    "conductance_lpa_mod": _q_conductance,
-    "reciprocity_mod": _q_reciprocity,
+    "degree_out": _q_degree_out,
+    "degrees": _q_degrees,
     "neighbor_emb_mean": _q_neighbor_emb,
     "wcc_components_snr": _q_wcc_snr,
     "wcc_csr_components_snr": _q_wcc_csr_snr,
