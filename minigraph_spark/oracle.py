@@ -511,3 +511,70 @@ def landmark_betweenness(edges: np.ndarray, seeds: list[int]) -> dict[int, float
                 acc[u] += delta[u]
                 covered.add(u)
     return {int(ids[v]): float(acc[v]) for v in range(n) if v in covered}
+
+
+def coreness_np(edges: np.ndarray) -> dict[int, int]:
+    """Core number per non-isolated vertex of the canonical simple closure,
+    by the textbook min-degree peel (Batagelj-Zaversnik order): remove a
+    minimum-degree vertex, its core number is the running max of the degree
+    at removal time. Ground truth for plans/coreness.py (which iterates the
+    h-index fixpoint instead — same answer by Lu et al. 2016, Thm 1)."""
+    e = _canon_undirected(edges)
+    if not len(e):
+        return {}
+    ids = np.unique(e)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in e:
+        adj[idx[int(a)]].append(idx[int(b)])
+        adj[idx[int(b)]].append(idx[int(a)])
+    deg = np.array([len(a) for a in adj])
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    cur = 0
+    for _ in range(n):
+        cand = np.where(alive)[0]
+        v = cand[np.argmin(deg[cand])]
+        cur = max(cur, int(deg[v]))
+        core[v] = cur
+        alive[v] = False
+        for w in adj[v]:
+            if alive[w]:
+                deg[w] -= 1
+    return {int(ids[i]): int(core[i]) for i in range(n)}
+
+
+def coreness_hindex_rounds(edges: np.ndarray) -> int:
+    """Rounds the SYNCHRONOUS h-index iteration (plans/coreness.py rule:
+    c_0 = degree, c_t+1(v) = h-index of neighbors' c_t) takes to reach its
+    fixpoint — the oracle unroll depth. Also asserts the fixpoint equals
+    the peel core numbers (the Lu et al. convergence theorem, re-checked
+    at oracle-build time on the actual input)."""
+    e = _canon_undirected(edges)
+    if not len(e):
+        return 0
+    ids = np.unique(e)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in e:
+        adj[idx[int(a)]].append(idx[int(b)])
+        adj[idx[int(b)]].append(idx[int(a)])
+    val = np.array([len(a) for a in adj], dtype=np.int64)
+    rounds = 0
+    while True:
+        nxt = np.empty_like(val)
+        for v in range(n):
+            vals = np.sort(val[adj[v]])[::-1]
+            ranks = np.arange(1, len(vals) + 1)
+            nxt[v] = int(np.minimum(vals, ranks).max()) if len(vals) else 0
+        if (nxt == val).all():
+            break
+        val = nxt
+        rounds += 1
+    peel = coreness_np(edges)
+    assert all(int(val[idx[v]]) == c for v, c in peel.items()), (
+        "h-index fixpoint != peel core numbers — convergence theorem violated"
+    )
+    return rounds

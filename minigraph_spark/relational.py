@@ -2173,6 +2173,43 @@ def kcore_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
     return _kcore_sql(KC_K, kcore_peel_rounds(_kc_edges_np(sf_dir), KC_K) + 2)
 
 
+def _coreness_sql(rounds: int) -> str:
+    """Unrolled synchronous h-index iteration (plans/coreness.py rule):
+    s0 = undirected degree; round r replaces each vertex's value with the
+    h-index of its neighbors' round r-1 values — MAX(LEAST(val, rn)) over
+    the neighbor values sorted descending is exactly the h-index. The
+    fixpoint is the core number (Lu et al. 2016); rounds past it are no-ops,
+    so unrolling (derived changed-rounds + 2) states coreness exactly."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (",
+        f"  SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM ({KC_SQL}) t),",
+        "sym AS MATERIALIZED (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),",
+        "s0 AS MATERIALIZED (SELECT s AS v, COUNT(*) AS val FROM sym GROUP BY s),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT v, MAX(LEAST(val, rn)) AS val FROM ("
+            f"SELECT e.d AS v, s.val, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.d ORDER BY s.val DESC) AS rn "
+            f"FROM sym e JOIN s{r-1} s ON s.v = e.s) t GROUP BY v),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT v AS vid, CAST(val AS BIGINT) AS coreness FROM s{rounds}"
+    )
+    return "\n".join(parts)
+
+
+@functools.cache
+def coreness_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
+    """Coreness oracle with the unroll depth DERIVED from the input; the
+    derivation itself re-asserts h-index fixpoint == peel core numbers on
+    the actual graph (oracle.coreness_hindex_rounds)."""
+    from .oracle import coreness_hindex_rounds
+
+    return _coreness_sql(coreness_hindex_rounds(_kc_edges_np(sf_dir)) + 2)
+
+
 def _ktruss_sql(k: int, rounds: int) -> str:
     """Unrolled synchronous truss peel: round r keeps edges whose support
     (triangles through them in round r-1's edge set, each canonical triangle
@@ -2233,6 +2270,15 @@ def _q_kcore(spark, sf_dir):
     from .plans.kcore import run_kcore
 
     return run_kcore(kc_edges(spark, sf_dir), k=KC_K)
+
+
+def _q_coreness(spark, sf_dir):
+    """Full coreness decomposition (k-core number per vertex) by the
+    iterative h-index fixpoint — completes the k-core family on the same
+    kc graph (coreness(v) >= KC_K iff v in kcore14_kc's answer)."""
+    from .plans.coreness import run_coreness
+
+    return run_coreness(kc_edges(spark, sf_dir))
 
 
 def _q_ktruss(spark, sf_dir):
@@ -2454,6 +2500,7 @@ QUERIES = {
     "decode_png_real": _q_decode_png_real,
     "decode_jpeg_real": _q_decode_jpeg_real,
     "decode_mp4_real": _q_decode_mp4_real,
+    "coreness_kc": _q_coreness,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2498,7 +2545,8 @@ QUERIES = {
     "anf3_kc": _q_anf,
     "nf_curve_kc": _q_nf_curve,
     "eff_diameter_kc": _q_eff_diameter,
-    "assortativity_mod": _q_assortativity,
+    # assortativity_mod (r03-green, stable) moved to the tail in exchange
+    # for coreness_kc entering the 50-key window (same swap rule as above)
     "pagerank3_mod": _q_pagerank3,
     "pagerank_weighted_mod": _q_pagerank_weighted,
     "hits3_mod": _q_hits3,
@@ -2511,6 +2559,7 @@ QUERIES = {
     "modularity_lpa_mod": _q_modularity,
     "degree_out": _q_degree_out,
     "degrees": _q_degrees,
+    "assortativity_mod": _q_assortativity,
     "neighbor_emb_mean": _q_neighbor_emb,
     "wcc_components_snr": _q_wcc_snr,
     "wcc_csr_components_snr": _q_wcc_csr_snr,
@@ -2592,6 +2641,7 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_seq_edges": _stream_seq_sql(),
         "coloring_mod": coloring_oracle_sql(),
         "kcore14_kc": kcore_oracle_sql(),
+        "coreness_kc": coreness_oracle_sql(),
         "ktruss4_kc": ktruss_oracle_sql(),
         "betweenness_kc": betweenness_oracle_sql(),
         "pagerank_mod_converged": pagerank_converged_oracle_sql(),

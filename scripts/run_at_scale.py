@@ -269,6 +269,26 @@ def run_kcore_scale(args) -> None:
     spark.stop()
 
 
+def run_coreness_scale(args) -> None:
+    from minigraph_spark.plans.coreness import run_coreness
+
+    spark = _spark(f"coreness_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; {_load()}", flush=True)
+    t0 = time.time()
+    core = run_coreness(rmat)
+    stats = core.agg(
+        F.count(F.lit(1)).alias("v"), F.max("coreness").alias("kmax")
+    ).collect()[0]
+    print(
+        f"coreness: {stats['v']} vertices, degeneracy {stats['kmax']}, "
+        f"{time.time() - t0:.0f}s; {_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
 def run_scc_scale(args) -> None:
     from minigraph_spark.plans.scc import run_scc
 
@@ -513,8 +533,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--algo", required=True,
                     choices=["pr", "pr_fixed", "pr_resume", "wcc", "lpa", "tri",
-                             "kcore", "scc", "anf", "wedges", "wcc_dec",
-                             "bfs_dec", "hits", "ktruss", "linkpred"])
+                             "kcore", "coreness", "scc", "anf", "wedges",
+                             "wcc_dec", "bfs_dec", "hits", "ktruss",
+                             "linkpred"])
     ap.add_argument("--phase", choices=["interrupt", "resume", "control"],
                     default=None, help="pr_resume internal: run ONE phase in "
                     "this JVM (the parent spawns one subprocess per phase)")
@@ -584,6 +605,7 @@ def main() -> None:
         "lpa": run_lpa_scale,
         "tri": run_tri,
         "kcore": run_kcore_scale,
+        "coreness": run_coreness_scale,
         "scc": run_scc_scale,
         "anf": run_anf_scale,
         "wedges": run_wedges,

@@ -50,6 +50,11 @@ def _oracle_for(name: str) -> str:
         from minigraph_spark.relational import ktruss_oracle_sql
 
         return ktruss_oracle_sql(SF_DIR)
+    if name == "coreness_kc":
+        # sf-derived h-index unroll depth (rounds differ per sf)
+        from minigraph_spark.relational import coreness_oracle_sql
+
+        return coreness_oracle_sql(SF_DIR)
     if name == "betweenness_kc":
         from minigraph_spark.relational import betweenness_oracle_sql
 
