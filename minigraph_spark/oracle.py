@@ -578,3 +578,19 @@ def coreness_hindex_rounds(edges: np.ndarray) -> int:
         "h-index fixpoint != peel core numbers — convergence theorem violated"
     )
     return rounds
+
+
+def katz_scores(
+    edges: np.ndarray, alpha: float = 0.1, beta: float = 1.0, iters: int = 3
+) -> dict[int, float]:
+    """Katz centrality, synchronous truncated power iteration mirroring
+    plans/centrality.py::run_katz: x' = beta + alpha * A^T x, init x = beta.
+    Duplicate edges kept (parallel edges double-credit, same as the Spark
+    sum over the edge table). Returns {vid: score} over every endpoint."""
+    dense, ids = _relabel(edges)
+    n = len(ids)
+    src, dst = dense[:, 0], dense[:, 1]
+    x = np.full(n, float(beta))
+    for _ in range(iters):
+        x = beta + alpha * np.bincount(dst, weights=x[src], minlength=n)
+    return {int(v): float(s) for v, s in zip(ids, x)}

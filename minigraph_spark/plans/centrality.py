@@ -169,3 +169,75 @@ def harmonic_centrality(
     out.count()
     d.unpersist()
     return out
+
+
+def run_katz(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    iters: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vid, score): Katz centrality on the directed graph — synchronous
+    power iteration x' = beta + alpha * A^T x, init x = beta (so ``iters``
+    sweeps credit paths of length <= iters, each damped by alpha^len; the
+    classic Katz 1953 index truncated at the sweep count, the oracle face).
+    Unlike eigenvector centrality this keeps sources with no in-edges at a
+    nonzero baseline, which matters on the transcript link graph where the
+    first turn of every conversation has in-degree 0.
+
+    Scale shape: identical to one PageRank sweep (plans/pagerank.py, the
+    reference's apps/cpp/pagerank_vc.cpp sweep re-expressed) — the edge
+    table is hash-partitioned on src once and persisted, each sweep is one
+    co-located scatter join + one sum-combine shuffle (map-side partial
+    agg), no normalization broadcast needed because alpha fixes the scale.
+    Lineage truncates per sweep via eager localCheckpoint; the edge cache
+    is freed before returning (the ADVICE-r3 leak rule).
+    """
+    from ..operators.partition import prepartition_edges
+    from ..session import iterative_confs
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    spark = edges.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    _pre = persistent_rdd_ids(spark)
+    with iterative_confs(spark):
+        e = prepartition_edges(edges.select("src", "dst"), n_part, by="src")
+    edge_ids = persistent_rdd_ids(spark) - _pre
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+
+    before = persistent_rdd_ids(spark)
+    st = verts.select(
+        "vid", F.lit(float(beta)).alias("score")
+    ).localCheckpoint(eager=True)
+    st_ids = persistent_rdd_ids(spark) - before
+    for _ in range(iters):
+        raw = (
+            e.join(st.select(F.col("vid").alias("src"), "score"), "src")
+            .groupBy("dst")
+            .agg(F.sum("score").alias("_in"))
+        )
+        before = persistent_rdd_ids(spark)
+        nxt = (
+            verts.join(raw.withColumnRenamed("dst", "vid"), "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha))
+                    * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("score"),
+            )
+        ).localCheckpoint(eager=True)
+        nxt_ids = persistent_rdd_ids(spark) - before
+        free_rdd_ids(spark, st_ids)
+        st, st_ids = nxt, nxt_ids
+    free_rdd_ids(spark, edge_ids)
+    return st

@@ -1213,6 +1213,33 @@ x{k} AS MATERIALIZED (SELECT v.v, COALESCE(r.s, 0.0) / n{k}.nrm AS score
     return sql + f"\nSELECT v AS vid, ROUND(score, 6) AS score FROM x{iters}"
 
 
+def _q_katz(spark, sf_dir):
+    """Katz centrality (alpha=0.1, beta=1, 3 truncated sweeps) on the kc
+    digraph — directed, unlike eigen3_kc's undirected closure, so in-degree-0
+    conversation-opener vertices sit at the beta baseline."""
+    from .plans.centrality import run_katz
+
+    kz = run_katz(kc_edges(spark, sf_dir), alpha=0.1, beta=1.0, iters=3)
+    return kz.select("vid", F.round("score", 6).alias("score"))
+
+
+def _katz_sql(alpha: float = 0.1, beta: float = 1.0, iters: int = 3) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({KC_SQL}),",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),",
+        f"x0 AS (SELECT v, CAST({beta} AS DOUBLE) AS score FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+xr{k} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.score) AS s
+        FROM edges e JOIN x{k-1} p ON p.v = e.src GROUP BY e.dst),
+x{k} AS MATERIALIZED (SELECT v.v, {beta} + {alpha} * COALESCE(r.s, 0.0) AS score
+        FROM verts v LEFT JOIN xr{k} r ON r.v = v.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, ROUND(score, 6) AS score FROM x{iters}"
+
+
 def _q_closeness(spark, sf_dir):
     """Landmark closeness centrality (3 probes) on the kc graph."""
     from .plans.centrality import closeness_centrality
@@ -2501,6 +2528,7 @@ QUERIES = {
     "decode_jpeg_real": _q_decode_jpeg_real,
     "decode_mp4_real": _q_decode_mp4_real,
     "coreness_kc": _q_coreness,
+    "katz3_kc": _q_katz,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2803,6 +2831,7 @@ _ORACLE_SQL_STATIC = {
     "harmonic_kc": _harmonic_sql(),
     "closeness_kc": _closeness_sql(),
     "eigen3_kc": _eigenvector_sql(),
+    "katz3_kc": _katz_sql(),
     "degree_hist_kc": DEGREE_HIST_SQL,
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),

@@ -746,3 +746,16 @@ def test_eigenvector_matches_numpy(spark):
     assert set(got) == set(ids)
     for v in ids:
         assert abs(got[v] - x[idx[v]]) < 1e-9
+
+
+def test_katz_matches_numpy(spark):
+    from minigraph_spark.plans.centrality import run_katz
+
+    arr = make_rmat_edges_np(power=6, num_edges=300, seed=23)
+    got = {r["vid"]: r["score"]
+           for r in run_katz(_spark_edges(spark, arr), alpha=0.1, beta=1.0,
+                             iters=3).collect()}
+    want = oracle.katz_scores(arr, alpha=0.1, beta=1.0, iters=3)
+    assert set(got) == set(want)
+    for v, s in want.items():
+        assert abs(got[v] - s) < 1e-9
