@@ -1796,6 +1796,56 @@ FROM (
 """
 
 
+COOC_MIN_SHARED = 25  # 27 pairs at sf0.001, 4382 at sf0.01 — non-trivial
+# at every sf (per-user active days ~19-30, so the co-active tail starts ~25)
+
+
+def _user_day_bip(spark, sf_dir):
+    """(user_id, active day) bipartite affiliation table — TIMESTAMP_NTZ +
+    UTC session tz, so to_date == DuckDB's CAST(ts AS DATE) exactly."""
+    return _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+
+
+def _q_user_day_cooc(spark, sf_dir):
+    from .operators.bipartite import cooccurrence
+
+    return cooccurrence(
+        _user_day_bip(spark, sf_dir), "user_id", "day",
+        min_shared=COOC_MIN_SHARED,
+    ).select(F.col("a").alias("u1"), F.col("b").alias("u2"), "shared")
+
+
+_COOC_BIP_SQL = (
+    "SELECT DISTINCT user_id AS l, CAST(ts AS DATE) AS r FROM events"
+)
+
+_USER_DAY_COOC_SQL = f"""
+WITH b AS MATERIALIZED ({_COOC_BIP_SQL})
+SELECT b1.l AS u1, b2.l AS u2, COUNT(*) AS shared
+FROM b b1 JOIN b b2 ON b1.r = b2.r AND b1.l < b2.l
+GROUP BY b1.l, b2.l
+HAVING COUNT(*) >= {COOC_MIN_SHARED}
+"""
+
+
+def _q_butterflies(spark, sf_dir):
+    from .operators.bipartite import butterfly_count
+
+    return butterfly_count(_user_day_bip(spark, sf_dir), "user_id", "day")
+
+
+_BUTTERFLY_SQL = f"""
+WITH b AS MATERIALIZED ({_COOC_BIP_SQL}),
+p AS (SELECT COUNT(*) AS shared
+      FROM b b1 JOIN b b2 ON b1.r = b2.r AND b1.l < b2.l
+      GROUP BY b1.l, b2.l)
+SELECT CAST(COALESCE(SUM(shared * (shared - 1) // 2), 0) AS BIGINT)
+       AS num_butterflies FROM p
+"""
+
+
 def _q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
@@ -2529,6 +2579,8 @@ QUERIES = {
     "decode_mp4_real": _q_decode_mp4_real,
     "coreness_kc": _q_coreness,
     "katz3_kc": _q_katz,
+    "user_day_cooccurrence": _q_user_day_cooc,
+    "butterfly_count_events": _q_butterflies,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2832,6 +2884,8 @@ _ORACLE_SQL_STATIC = {
     "closeness_kc": _closeness_sql(),
     "eigen3_kc": _eigenvector_sql(),
     "katz3_kc": _katz_sql(),
+    "user_day_cooccurrence": _USER_DAY_COOC_SQL,
+    "butterfly_count_events": _BUTTERFLY_SQL,
     "degree_hist_kc": DEGREE_HIST_SQL,
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),
