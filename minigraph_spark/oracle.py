@@ -594,3 +594,53 @@ def katz_scores(
     for _ in range(iters):
         x = beta + alpha * np.bincount(dst, weights=x[src], minlength=n)
     return {int(v): float(s) for v, s in zip(ids, x)}
+
+
+def mis_greedy(edges: np.ndarray) -> tuple[set[int], int]:
+    """Deterministic greedy MIS mirroring plans/mis.py::run_mis: fixed
+    priorities p(v) = md5_int63('mis:' || v), synchronous local-minimum
+    rounds on the simple undirected closure. Returns (member vids, number
+    of sync rounds to empty the undecided set). Asserts the sync fixpoint
+    equals the sequential greedy in priority order (the determinism
+    argument the plan relies on) and that priorities are unique."""
+    import hashlib
+
+    und = {(a, b) for a, b in map(tuple, edges) if a != b}
+    und |= {(b, a) for a, b in und}
+    ids = sorted({int(v) for e in und for v in e})
+    prio = {
+        v: int(hashlib.md5(f"mis:{v}".encode()).hexdigest()[:15], 16)
+        for v in ids
+    }
+    assert len(set(prio.values())) == len(ids), "md5 priority collision"
+    adj: dict[int, set[int]] = {v: set() for v in ids}
+    for a, b in und:
+        adj[int(a)].add(int(b))
+
+    undecided = set(ids)
+    members: set[int] = set()
+    rounds = 0
+    while undecided:
+        rounds += 1
+        winners = {
+            v
+            for v in undecided
+            if all(
+                (prio[v], v) < (prio[u], u)
+                for u in adj[v]
+                if u in undecided
+            )
+        }
+        assert winners, "sync MIS stalled — priorities not unique?"
+        members |= winners
+        dropped = set(winners)
+        for w in winners:
+            dropped |= adj[w] & undecided
+        undecided -= dropped
+
+    seq: set[int] = set()
+    for v in sorted(ids, key=lambda v: (prio[v], v)):
+        if not (adj[v] & seq):
+            seq.add(v)
+    assert seq == members, "sync fixpoint != sequential greedy MIS"
+    return members, rounds

@@ -158,3 +158,37 @@ def run_scc(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # the returned DataFrame and stay pinned (same contract as run_ktruss)
     free_rdd_ids(spark, alive_ids)
     return done
+
+
+def condensation(
+    edges: DataFrame, scc: DataFrame | None = None, max_rounds: int = 50
+) -> DataFrame:
+    """(src_scc, dst_scc) distinct inter-component edges — the condensation
+    DAG of the directed graph (the component-level bowtie skeleton: every
+    cycle collapses into its SCC, so the result is acyclic by construction).
+
+    Pass a precomputed ``scc`` (vid, scc_id) table to amortize run_scc
+    across consumers (the engine-reuse idiom); otherwise it runs here.
+
+    Scale shape: two V-row mapping joins against the E-row edge table
+    (broadcast when the component map is small, co-partitioned shuffle
+    joins when not — Catalyst/AQE picks per side), then one E-row distinct.
+    No iteration beyond run_scc itself; the output is |condensation edges|
+    rows, typically orders of magnitude below E on web graphs (giant SCC +
+    shallow periphery)."""
+    comp = scc if scc is not None else run_scc(edges, max_rounds)
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    out = (
+        e.join(
+            comp.select(F.col("vid").alias("src"), F.col("scc_id").alias("src_scc")),
+            "src",
+        )
+        .join(
+            comp.select(F.col("vid").alias("dst"), F.col("scc_id").alias("dst_scc")),
+            "dst",
+        )
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+    return out

@@ -1846,6 +1846,67 @@ SELECT CAST(COALESCE(SUM(shared * (shared - 1) // 2), 0) AS BIGINT)
 """
 
 
+def _q_scc_condensation(spark, sf_dir):
+    """Condensation DAG of the SCC graph — component-level bowtie edges."""
+    from .plans.scc import condensation
+
+    return condensation(scc_edges(spark, sf_dir))
+
+
+_SCC_CONDENSATION_SQL = f"""
+WITH comp AS MATERIALIZED ({SCC_ORACLE_SQL}), ed AS ({SCC_SQL})
+SELECT DISTINCT cs.scc_id AS src_scc, cd.scc_id AS dst_scc
+FROM ed JOIN comp cs ON cs.vid = ed.src JOIN comp cd ON cd.vid = ed.dst
+WHERE cs.scc_id != cd.scc_id
+"""
+
+
+def _q_mis(spark, sf_dir):
+    """Deterministic greedy MIS (fixed md5 priorities) on the kc closure."""
+    from .plans.mis import run_mis
+
+    return run_mis(kc_edges(spark, sf_dir))
+
+
+def _mis_sql(rounds: int) -> str:
+    """Unrolled synchronous local-minimum MIS rounds; ``rounds`` is derived
+    by oracle.mis_greedy (+1 no-op insurance round — past the fixpoint the
+    undecided set is empty, so extra rounds contribute nothing)."""
+    from .functions.hashing import md5_int63_sql
+
+    h = md5_int63_sql("'mis:' || CAST(v AS VARCHAR)")
+    parts = [
+        f"WITH und AS MATERIALIZED (SELECT src, dst FROM ({KC_SQL})",
+        "  UNION SELECT dst, src FROM (" + KC_SQL + ")),",
+        f"u0 AS MATERIALIZED (SELECT v, {h} AS p FROM "
+        "(SELECT DISTINCT src AS v FROM und)),",
+    ]
+    for k in range(rounds):
+        parts.append(f"""
+ee{k} AS MATERIALIZED (SELECT e.src, e.dst FROM und e
+        JOIN u{k} a ON a.v = e.src JOIN u{k} b ON b.v = e.dst),
+nm{k} AS (SELECT e.src AS v, MIN(b.p) AS np
+          FROM ee{k} e JOIN u{k} b ON b.v = e.dst GROUP BY e.src),
+w{k} AS MATERIALIZED (SELECT u.v FROM u{k} u LEFT JOIN nm{k} n ON n.v = u.v
+        WHERE n.np IS NULL OR u.p < n.np),
+u{k + 1} AS MATERIALIZED (SELECT u.v, u.p FROM u{k} u
+        WHERE u.v NOT IN (SELECT v FROM w{k})
+          AND u.v NOT IN (SELECT e.dst FROM ee{k} e JOIN w{k} w ON w.v = e.src)),""")
+    sql = "\n".join(parts).rstrip(",")
+    union = " UNION ALL ".join(f"SELECT v FROM w{k}" for k in range(rounds))
+    return sql + f"\nSELECT v AS vid FROM ({union})"
+
+
+@functools.cache
+def mis_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
+    """MIS oracle: unroll (derived sync rounds + 1); the derivation also
+    asserts priority uniqueness and sync == sequential-greedy equality."""
+    from .oracle import mis_greedy
+
+    _, rounds = mis_greedy(_kc_edges_np(sf_dir))
+    return _mis_sql(rounds + 1)
+
+
 def _q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
@@ -2581,6 +2642,8 @@ QUERIES = {
     "katz3_kc": _q_katz,
     "user_day_cooccurrence": _q_user_day_cooc,
     "butterfly_count_events": _q_butterflies,
+    "scc_condensation": _q_scc_condensation,
+    "mis_kc": _q_mis,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2720,6 +2783,7 @@ def build_oracle_sql() -> dict[str, str]:
         "frame_sample_real": _frame_sample_real_sql(),
         "stream_seq_edges": _stream_seq_sql(),
         "coloring_mod": coloring_oracle_sql(),
+        "mis_kc": mis_oracle_sql(),
         "kcore14_kc": kcore_oracle_sql(),
         "coreness_kc": coreness_oracle_sql(),
         "ktruss4_kc": ktruss_oracle_sql(),
@@ -2886,6 +2950,7 @@ _ORACLE_SQL_STATIC = {
     "katz3_kc": _katz_sql(),
     "user_day_cooccurrence": _USER_DAY_COOC_SQL,
     "butterfly_count_events": _BUTTERFLY_SQL,
+    "scc_condensation": _SCC_CONDENSATION_SQL,
     "degree_hist_kc": DEGREE_HIST_SQL,
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),

@@ -759,3 +759,39 @@ def test_katz_matches_numpy(spark):
     assert set(got) == set(want)
     for v, s in want.items():
         assert abs(got[v] - s) < 1e-9
+
+
+def test_mis_matches_numpy(spark):
+    from minigraph_spark.plans.mis import run_mis
+
+    arr = make_rmat_edges_np(power=6, num_edges=300, seed=29)
+    got = {r["vid"] for r in run_mis(_spark_edges(spark, arr)).collect()}
+    want, _rounds = oracle.mis_greedy(arr)
+    assert got == want
+
+
+def test_mis_is_maximal_and_independent(spark):
+    from minigraph_spark.plans.mis import run_mis
+
+    arr = make_rmat_edges_np(power=5, num_edges=200, seed=31)
+    mis = {r["vid"] for r in run_mis(_spark_edges(spark, arr)).collect()}
+    und = {(a, b) for a, b in map(tuple, arr) if a != b}
+    und |= {(b, a) for a, b in und}
+    assert not any(a in mis and b in mis for a, b in und)  # independent
+    verts = {v for e in und for v in e}
+    nbrs = {v: {b for a, b in und if a == v} for v in verts}
+    assert all(v in mis or (nbrs[v] & mis) for v in verts)  # maximal
+
+
+def test_scc_condensation_matches_numpy(spark):
+    from minigraph_spark.plans.scc import condensation
+
+    arr = make_rmat_edges_np(power=6, num_edges=250, seed=37)
+    got = {(r["src_scc"], r["dst_scc"]) for r in
+           condensation(_spark_edges(spark, arr)).collect()}
+    lab = oracle.scc_labels(arr)
+    want = {(lab[a], lab[b]) for a, b in map(tuple, arr)
+            if a != b and lab[a] != lab[b]}
+    assert got == want
+    # the condensation is a DAG: no pair appears in both directions
+    assert not any((b, a) in got for a, b in got)
