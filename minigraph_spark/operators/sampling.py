@@ -56,3 +56,39 @@ def deterministic_walks(edges: DataFrame, seeds: list[int], steps: int) -> DataF
         )
         out = out.unionAll(w.select("seed", F.lit(t).alias("step"), "vid"))
     return out
+
+
+STRAT_SALT = "strat:"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    salt: str = STRAT_SALT,
+) -> DataFrame:
+    """(id, stratum, rank): deterministic per-stratum sample — the k rows
+    of each stratum with the smallest md5_int63(salt || id), rank 1..k in
+    hash order. The training-pipeline downsampling primitive: reproducible
+    across runs/engines (no RNG state), stable under input reordering, and
+    per-class balanced (each language/source/quality bucket contributes at
+    most k rows regardless of its share of the corpus).
+
+    Scale shape: one hash projection (JVM-side md5) + one per-stratum
+    window. The window sort is per-stratum; a mega-stratum is the skew
+    hazard, but the sort key is the 60-bit hash so AQE's skew splitting
+    applies, and rank<=k lets Spark push a per-partition top-k limit when
+    the stratum count is low. Ties on the hash (2^-60) break by id."""
+    h = md5_int63(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ).alias("_h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        df.select(F.col(id_col), F.col(strata_col), h)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_h")
+    )

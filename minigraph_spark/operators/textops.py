@@ -168,3 +168,33 @@ def sessionize(
         user_col,
         (F.sum("_new").over(cum) - 1).cast("long").alias("session_seq"),
     )
+
+
+def bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """(bigram, cnt, rank): the k most frequent adjacent-token pairs across
+    the corpus — the vocabulary-building step of a BPE-ish tokenizer
+    pipeline (pair statistics are the merge-rule candidates). Tokenization
+    is the engine-wide single-space convention (token_count/tfidf_topk).
+
+    Scale shape: bigrams are formed IN-ROW (zip_with over two slices of the
+    token array — no self-join, no posexplode shuffle), then one count
+    aggregation that collapses map-side, then a TakeOrderedAndProject
+    top-k (per-partition heads + driver merge of k rows, not a global
+    sort). Deterministic total order: cnt desc, bigram asc. Documents with
+    fewer than two tokens contribute nothing."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "bigram").limit(k)
+    w = Window.orderBy(F.desc("cnt"), "bigram")
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1907,6 +1907,49 @@ def mis_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
     return _mis_sql(rounds + 1)
 
 
+STRAT_K = 10  # per-language sample size: every driver sf has >= 60 docs
+# per language, so each stratum fills completely and the result is 5*K rows
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", k=STRAT_K
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from .functions.hashing import md5_int63_sql
+
+    h = md5_int63_sql("'strat:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang, rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id)
+              AS INTEGER) AS rank
+  FROM documents) t WHERE rank <= {STRAT_K}
+"""
+
+
+def _q_bigram_top20(spark, sf_dir):
+    from .operators.textops import bigram_topk
+
+    return bigram_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+_BIGRAM_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+bg AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+       FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+c AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+r AS (SELECT bigram, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, bigram)
+                  AS INTEGER) AS rank FROM c)
+SELECT bigram, cnt, rank FROM r WHERE rank <= 20
+"""
+
+
 def _q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
@@ -2644,6 +2687,8 @@ QUERIES = {
     "butterfly_count_events": _q_butterflies,
     "scc_condensation": _q_scc_condensation,
     "mis_kc": _q_mis,
+    "stratified_sample_docs": _q_stratified_sample,
+    "bigram_top20": _q_bigram_top20,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2784,6 +2829,7 @@ def build_oracle_sql() -> dict[str, str]:
         "stream_seq_edges": _stream_seq_sql(),
         "coloring_mod": coloring_oracle_sql(),
         "mis_kc": mis_oracle_sql(),
+        "stratified_sample_docs": _stratified_sample_sql(),
         "kcore14_kc": kcore_oracle_sql(),
         "coreness_kc": coreness_oracle_sql(),
         "ktruss4_kc": ktruss_oracle_sql(),
@@ -2951,6 +2997,7 @@ _ORACLE_SQL_STATIC = {
     "user_day_cooccurrence": _USER_DAY_COOC_SQL,
     "butterfly_count_events": _BUTTERFLY_SQL,
     "scc_condensation": _SCC_CONDENSATION_SQL,
+    "bigram_top20": _BIGRAM_SQL,
     "degree_hist_kc": DEGREE_HIST_SQL,
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),

@@ -565,3 +565,57 @@ def test_y4m_codec_and_real_frame_sample(spark):
     rs = resize_image(media, 4, 4, fake=False).collect()
     assert len(rs) == 6  # 3 ppm + 3 bmp; 3 wav filtered
     assert all(len(r["pixels"]) == 4 * 4 * 3 for r in rs)
+
+
+def test_stratified_sample_deterministic_and_balanced(spark):
+    from minigraph_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "ab"[i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, "lang", "doc_id", k=5).collect()
+    assert len(got) == 10
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], []).append((r["rank"], r["doc_id"]))
+    import hashlib
+
+    for lang in ("a", "b"):
+        ids = [i for i, l in rows if l == lang]
+        h = {i: int(hashlib.md5(f"strat:{i}".encode()).hexdigest()[:15], 16)
+             for i in ids}
+        want = sorted(ids, key=lambda i: (h[i], i))[:5]
+        assert [d for _, d in sorted(by[lang])] == want
+    # rerun identical (no RNG state)
+    again = stratified_sample(df, "lang", "doc_id", k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_small_stratum_underfills(spark):
+    from minigraph_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string"
+    )
+    got = stratified_sample(df, "lang", "doc_id", k=5).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in got) == [
+        ("x", 1), ("x", 2), ("y", 3)
+    ]
+
+
+def test_bigram_topk_matches_python(spark):
+    from collections import Counter
+
+    from minigraph_spark.operators.textops import bigram_topk
+
+    texts = ["a b a b c", "b c", "a", "", "c a b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    cnt = Counter()
+    for t in texts:
+        ts = t.split(" ")
+        for x, y in zip(ts, ts[1:]):
+            cnt[f"{x} {y}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r["bigram"], r["cnt"]) for r in
+           bigram_topk(df, k=3).orderBy("rank").collect()]
+    assert got == want
