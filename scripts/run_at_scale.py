@@ -500,6 +500,52 @@ def run_linkpred_scale(args) -> None:
     spark.stop()
 
 
+def run_butterfly_scale(args) -> None:
+    """Butterfly-count row: an events-shaped (user, day) bipartite synthesized
+    deterministically in-plan (--edges events; U = edges/16 users, 365 days
+    — the BASELINE.json input-table shape at cluster scale), so the natural
+    bound deg(user) <= 365 holds like a real activity corpus. Logs BOTH
+    per-side wedge volumes (the auto-chooser's two scalars): centering on
+    users costs ~sum C(16,2) per user; centering on days would cost
+    ~365 * C(edges/365, 2) — four-plus orders worse at 64M. Throughput is
+    wedge rows through the pair aggregation per second."""
+    from minigraph_spark.operators.bipartite import butterfly_count
+
+    spark = _spark(f"butterfly_e{args.edges}", args.shuffle, zstd=True)
+    users = max(args.edges // 16, 1)
+    bip = spark.range(args.edges).select(
+        F.pmod(F.xxhash64("id", F.lit("u")), F.lit(users)).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit("d")), F.lit(365)).alias("day"),
+    )
+    b = bip.distinct().persist()
+    n = b.count()
+    sides = {}
+    for col in ("user_id", "day"):
+        sides[col] = (
+            b.groupBy(col).count()
+            .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("w"))
+            .first()["w"]
+        )
+    print(
+        f"bipartite rows {n}; wedge volume user-side {sides['user_id']:.3g} "
+        f"vs day-side {sides['day']:.3g}; {_load()}",
+        flush=True,
+    )
+    t0 = time.time()
+    out = butterfly_count(b, "user_id", "day", center_buckets=args.buckets)
+    bf = out.first()["num_butterflies"]
+    wall = time.time() - t0
+    wedges = min(sides.values())
+    print(
+        f"butterflies {bf} in {wall:.0f}s = {wedges / wall / 1e6:.2f}M "
+        f"wedge-rows/s (auto-centered cheap side, buckets {args.buckets}); "
+        f"{_load()}",
+        flush=True,
+    )
+    b.unpersist()
+    spark.stop()
+
+
 def run_wedges(args) -> None:
     import duckdb
 
@@ -535,7 +581,7 @@ def main() -> None:
                     choices=["pr", "pr_fixed", "pr_resume", "wcc", "lpa", "tri",
                              "kcore", "coreness", "scc", "anf", "wedges",
                              "wcc_dec", "bfs_dec", "hits", "ktruss",
-                             "linkpred"])
+                             "linkpred", "butterfly"])
     ap.add_argument("--phase", choices=["interrupt", "resume", "control"],
                     default=None, help="pr_resume internal: run ONE phase in "
                     "this JVM (the parent spawns one subprocess per phase)")
@@ -588,7 +634,9 @@ def main() -> None:
     args = ap.parse_args()
 
     t0 = time.time()
-    if args.graph == "chains":
+    if args.algo == "butterfly":
+        args.path = None  # bipartite synthesized in-plan; no edge fixture
+    elif args.graph == "chains":
         from minigraph_spark.fixtures import ensure_chain_parquet
 
         args.path = ensure_chain_parquet(args.edges, chain_len=args.chain_len)
@@ -614,6 +662,7 @@ def main() -> None:
         "hits": run_hits_scale,
         "ktruss": run_ktruss_scale,
         "linkpred": run_linkpred_scale,
+        "butterfly": run_butterfly_scale,
     }[args.algo](args)
 
 
