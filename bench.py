@@ -207,6 +207,17 @@ def main() -> None:
     )
     clear_storage(spark)
 
+    # round-4: exact butterfly count on the (user, active-day) bipartite —
+    # prices the auto side-choice + wedge pair aggregation at sf scale
+    from minigraph_spark.operators.bipartite import butterfly_count
+
+    ud = ev.select("user_id", F.to_date("ts").alias("day"))
+    extras["butterflies_events"] = timed(
+        "butterfly_events",
+        lambda: butterfly_count(ud, "user_id", "day").first()["num_butterflies"],
+    )
+    clear_storage(spark)
+
     # --- streaming stateful sessionization at driver scale ----------------
     # VERDICT r3 #6: the batch face (sessionize_events) and the streaming
     # face are pytest-equal; this line prices the streaming face itself.
