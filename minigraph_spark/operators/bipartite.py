@@ -55,10 +55,14 @@ def _wedge_pairs(
     center: str,
     max_center_degree: int | None,
     center_buckets: int,
+    min_shared: int = 1,
 ) -> DataFrame:
-    """(a, b, shared) pairs of NON-center vertices sharing >= 1 center
-    neighbor, a < b. ``b`` must be the deduped (l, r) table; ``center``
-    names which column is the wedge center ("l" or "r")."""
+    """(a, b, shared) pairs of NON-center vertices sharing >= min_shared
+    center neighbors, a < b. ``b`` must be the deduped (l, r) table;
+    ``center`` names which column is the wedge center ("l" or "r").
+    min_shared is applied INSIDE the pair aggregation plan (before the
+    materializing persist), so sub-threshold pairs are never stored —
+    though with buckets > 1 it must wait for the cross-bucket merge."""
     other = "r" if center == "l" else "l"
     w = b.select(F.col(center).alias("c"), F.col(other).alias("o"))
     if max_center_degree is not None:
@@ -91,13 +95,18 @@ def _wedge_pairs(
         for pb in parts[1:]:
             merged = merged.unionAll(pb)
         out = merged.groupBy("a", "b").agg(F.sum("shared").alias("shared"))
+        if min_shared > 1:
+            out = out.filter(F.col("shared") >= min_shared)
         out = out.persist()
         out.count()
         for pb in parts:
             pb.unpersist()
         w.unpersist()
         return out
-    out = one_pass(w).persist()
+    out = one_pass(w)
+    if min_shared > 1:
+        out = out.filter(F.col("shared") >= min_shared)
+    out = out.persist()
     out.count()
     w.unpersist()
     return out
@@ -117,10 +126,9 @@ def cooccurrence(
     are dropped. Wedge centers are the right vertices; see the module
     docstring for the cap/bucket scale knobs."""
     b = _dedup(bip, left_col, right_col)
-    out = _wedge_pairs(b, "r", max_center_degree, center_buckets)
-    if min_shared > 1:
-        out = out.filter(F.col("shared") >= min_shared)
-    return out
+    return _wedge_pairs(
+        b, "r", max_center_degree, center_buckets, min_shared=min_shared
+    )
 
 
 def butterfly_count(
