@@ -644,3 +644,37 @@ def mis_greedy(edges: np.ndarray) -> tuple[set[int], int]:
             seq.add(v)
     assert seq == members, "sync fixpoint != sequential greedy MIS"
     return members, rounds
+
+
+def dag_layers(edges: np.ndarray) -> tuple[dict[int, int], int]:
+    """Longest-path layering mirroring plans/dag.py::longest_path_layers:
+    layer(v) = longest directed path ending at v, sources at 0. Input must
+    be a DAG (asserted via the DP's own convergence on a topological
+    order). Returns ({vid: layer}, depth) where depth = max layer — also
+    the sync-round count the Spark plan and the unrolled SQL oracle need
+    (one extra quiescence round confirms the fixpoint)."""
+    uniq = {(int(a), int(b)) for a, b in map(tuple, edges) if a != b}
+    verts = sorted({v for e in uniq for v in e})
+    # Kahn topological order (raises on cycles)
+    indeg = {v: 0 for v in verts}
+    out: dict[int, list[int]] = {v: [] for v in verts}
+    for a, b in uniq:
+        out[a].append(b)
+        indeg[b] += 1
+    from collections import deque
+
+    q = deque(v for v in verts if indeg[v] == 0)
+    topo = []
+    while q:
+        v = q.popleft()
+        topo.append(v)
+        for w in out[v]:
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                q.append(w)
+    assert len(topo) == len(verts), "input is not a DAG"
+    layer = {v: 0 for v in verts}
+    for v in topo:
+        for w in out[v]:
+            layer[w] = max(layer[w], layer[v] + 1)
+    return layer, max(layer.values()) if layer else 0

@@ -1950,6 +1950,62 @@ SELECT bigram, cnt, rank FROM r WHERE rank <= 20
 """
 
 
+DAG_KC_SQL = f"""
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM ({KC_SQL})
+"""
+
+
+def dagkc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DAG: the kc graph oriented low-vid -> high-vid (any
+    comparison orientation is acyclic), the layering query's input."""
+    e = kc_edges(spark, sf_dir)
+    return e.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+
+
+def _q_dag_layers(spark, sf_dir):
+    """Longest-path (critical-path) layering of the kc DAG."""
+    from .plans.dag import longest_path_layers
+
+    return longest_path_layers(dagkc_edges(spark, sf_dir))
+
+
+def _dag_layers_sql(rounds: int) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({DAG_KC_SQL}),",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),",
+        "l0 AS (SELECT v, CAST(0 AS BIGINT) AS l FROM verts),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+m{k} AS (SELECT e.dst AS v, MAX(p.l) + 1 AS li
+         FROM e JOIN l{k - 1} p ON p.v = e.src GROUP BY e.dst),
+l{k} AS MATERIALIZED (SELECT p.v, GREATEST(p.l, COALESCE(m.li, 0)) AS l
+         FROM l{k - 1} p LEFT JOIN m{k} m ON m.v = p.v),""")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT v AS vid, l AS layer FROM l{rounds}"
+
+
+@functools.cache
+def dag_layers_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
+    """Layering oracle: unroll (derived DAG depth + 1 quiescence round);
+    the derivation topologically sorts (asserting acyclicity) and computes
+    the exact depth on the same canonicalized edge set."""
+    import numpy as np
+
+    from .oracle import dag_layers
+
+    e = _kc_edges_np(sf_dir)
+    a = np.minimum(e[:, 0], e[:, 1])
+    b = np.maximum(e[:, 0], e[:, 1])
+    m = a != b
+    _, depth = dag_layers(np.stack([a[m], b[m]], axis=1))
+    return _dag_layers_sql(depth + 1)
+
+
 def _q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
@@ -2689,6 +2745,7 @@ QUERIES = {
     "mis_kc": _q_mis,
     "stratified_sample_docs": _q_stratified_sample,
     "bigram_top20": _q_bigram_top20,
+    "dag_layers_kc": _q_dag_layers,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -2830,6 +2887,7 @@ def build_oracle_sql() -> dict[str, str]:
         "coloring_mod": coloring_oracle_sql(),
         "mis_kc": mis_oracle_sql(),
         "stratified_sample_docs": _stratified_sample_sql(),
+        "dag_layers_kc": dag_layers_oracle_sql(),
         "kcore14_kc": kcore_oracle_sql(),
         "coreness_kc": coreness_oracle_sql(),
         "ktruss4_kc": ktruss_oracle_sql(),

@@ -795,3 +795,30 @@ def test_scc_condensation_matches_numpy(spark):
     assert got == want
     # the condensation is a DAG: no pair appears in both directions
     assert not any((b, a) in got for a, b in got)
+
+
+def test_dag_layers_matches_numpy(spark):
+    import numpy as _np
+
+    from minigraph_spark.plans.dag import longest_path_layers
+
+    arr = make_rmat_edges_np(power=6, num_edges=300, seed=41)
+    a = _np.minimum(arr[:, 0], arr[:, 1])
+    b = _np.maximum(arr[:, 0], arr[:, 1])
+    m = a != b
+    dag = _np.stack([a[m], b[m]], axis=1)
+    got = {r["vid"]: r["layer"] for r in
+           longest_path_layers(_spark_edges(spark, dag)).collect()}
+    want, depth = oracle.dag_layers(dag)
+    assert got == want
+    assert max(got.values()) == depth
+
+
+def test_dag_layers_detects_cycle(spark):
+    import pytest as _pytest
+
+    from minigraph_spark.plans.dag import longest_path_layers
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="cycle"):
+        longest_path_layers(cyc, max_rounds=10)
