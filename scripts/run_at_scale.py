@@ -500,6 +500,55 @@ def run_linkpred_scale(args) -> None:
     spark.stop()
 
 
+def run_mis_scale(args) -> None:
+    """MIS row: deterministic greedy MIS on the fixture graph — the
+    geometric-shrink claim (each sync round removes every local-minimum
+    vertex plus its neighborhood) priced at scale."""
+    from minigraph_spark.plans.mis import run_mis
+
+    spark = _spark(f"mis_p{args.power}", args.shuffle, zstd=True)
+    edges = _int_ids_if_rmat(spark.read.parquet(args.path), args)
+    n = edges.count()
+    t0 = time.time()
+    mis = run_mis(edges)
+    members = mis.count()
+    wall = time.time() - t0
+    print(
+        f"MIS: {members} members of {n}-edge graph in {wall:.0f}s = "
+        f"{n / wall / 1e6:.2f}M edges/s end-to-end; {_load()}",
+        flush=True,
+    )
+    mis.unpersist()
+    spark.stop()
+
+
+def run_dag_scale(args) -> None:
+    """DAG layering row — run on --graph chains (the transcript-shaped
+    input: layer(v) == turn depth within its conversation, DAG depth ==
+    chain_len - 1) or on an R-MAT oriented low->high vid."""
+    from minigraph_spark.plans.dag import longest_path_layers
+
+    spark = _spark(f"dag_p{args.power}", args.shuffle, zstd=True)
+    edges = _int_ids_if_rmat(spark.read.parquet(args.path), args)
+    if args.graph == "rmat":
+        edges = edges.filter("src <> dst").select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+    n = edges.count()
+    t0 = time.time()
+    layers = longest_path_layers(edges)
+    depth = layers.agg(F.max("layer").alias("d")).first()["d"]
+    wall = time.time() - t0
+    print(
+        f"DAG layering ({args.graph}): depth {depth} over {n} edges in "
+        f"{wall:.0f}s = {n * (depth + 1) / wall / 1e6:.2f}M edge-rounds/s; "
+        f"{_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
 def run_butterfly_scale(args) -> None:
     """Butterfly-count row: an events-shaped (user, day) bipartite synthesized
     deterministically in-plan (--edges events; U = edges/16 users, 365 days
@@ -581,7 +630,7 @@ def main() -> None:
                     choices=["pr", "pr_fixed", "pr_resume", "wcc", "lpa", "tri",
                              "kcore", "coreness", "scc", "anf", "wedges",
                              "wcc_dec", "bfs_dec", "hits", "ktruss",
-                             "linkpred", "butterfly"])
+                             "linkpred", "butterfly", "mis", "dag"])
     ap.add_argument("--phase", choices=["interrupt", "resume", "control"],
                     default=None, help="pr_resume internal: run ONE phase in "
                     "this JVM (the parent spawns one subprocess per phase)")
@@ -663,6 +712,8 @@ def main() -> None:
         "ktruss": run_ktruss_scale,
         "linkpred": run_linkpred_scale,
         "butterfly": run_butterfly_scale,
+        "mis": run_mis_scale,
+        "dag": run_dag_scale,
     }[args.algo](args)
 
 
