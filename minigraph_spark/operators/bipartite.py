@@ -148,10 +148,10 @@ def butterfly_count(
     vertex-priority rule of Wang et al. collapsed to a per-side choice).
     Exact by default (``max_center_degree=None``): side choice + bucketing
     are the scale defenses that do not change the answer."""
-    b = _dedup(bip, left_col, right_col).persist()
-    b.count()
     if center not in ("auto", "left", "right"):
         raise ValueError(f"center must be auto|left|right, got {center!r}")
+    b = _dedup(bip, left_col, right_col).persist()
+    b.count()
     if center == "auto":
         # one 1-row scalar per side (sides may have incompatible id types,
         # e.g. BIGINT users x DATE days, so no union of the two)
@@ -167,6 +167,9 @@ def butterfly_count(
     else:
         ctr = "l" if center == "left" else "r"
     pairs = _wedge_pairs(b, ctr, max_center_degree, center_buckets)
+    b.unpersist()  # pairs is materialized; don't hold the dedup copy
+    # through the final aggregation (_wedge_pairs' own w copy is already
+    # released inside)
     # integer DIV keeps the per-pair term exact past 2^53 (double / would
     # round for mega-degree centers)
     out = pairs.agg(
@@ -176,5 +179,4 @@ def butterfly_count(
     )
     n = out.collect()[0]["num_butterflies"]
     pairs.unpersist()
-    b.unpersist()
     return bip.sparkSession.createDataFrame([(int(n),)], "num_butterflies long")

@@ -62,6 +62,17 @@ def free_rdd_ids(spark, ids: set) -> None:
             jmap[rid].unpersist(False)
 
 
+def tracked_local_checkpoint(df):
+    """Eager localCheckpoint + the block ids it pinned, so the caller can
+    free_rdd_ids them when the round state is superseded (the ADVICE-r3
+    leak rule). One shared home for the snapshot/diff idiom every
+    iterative plan uses."""
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, persistent_rdd_ids(spark) - before
+
+
 @dataclass
 class IterationMetrics:
     iteration: int

@@ -607,7 +607,10 @@ def mis_greedy(edges: np.ndarray) -> tuple[set[int], int]:
 
     und = {(a, b) for a, b in map(tuple, edges) if a != b}
     und |= {(b, a) for a, b in und}
-    ids = sorted({int(v) for e in und for v in e})
+    # vertex universe = ALL endpoints incl. self-loop-only vertices, which
+    # are isolated in the simple closure and therefore always members
+    # (plans/mis.py self-loop semantics)
+    ids = sorted({int(v) for e in map(tuple, edges) for v in e})
     prio = {
         v: int(hashlib.md5(f"mis:{v}".encode()).hexdigest()[:15], 16)
         for v in ids

@@ -22,6 +22,7 @@ from ..operators.superstep import (
     SuperstepEngine,
     free_rdd_ids,
     persistent_rdd_ids,
+    tracked_local_checkpoint,
 )
 from .bfs import run_bfs
 
@@ -213,19 +214,16 @@ def run_katz(
         .distinct()
     )
 
-    before = persistent_rdd_ids(spark)
-    st = verts.select(
-        "vid", F.lit(float(beta)).alias("score")
-    ).localCheckpoint(eager=True)
-    st_ids = persistent_rdd_ids(spark) - before
+    st, st_ids = tracked_local_checkpoint(
+        verts.select("vid", F.lit(float(beta)).alias("score"))
+    )
     for _ in range(iters):
         raw = (
             e.join(st.select(F.col("vid").alias("src"), "score"), "src")
             .groupBy("dst")
             .agg(F.sum("score").alias("_in"))
         )
-        before = persistent_rdd_ids(spark)
-        nxt = (
+        nxt, nxt_ids = tracked_local_checkpoint(
             verts.join(raw.withColumnRenamed("dst", "vid"), "vid", "left")
             .select(
                 "vid",
@@ -235,8 +233,7 @@ def run_katz(
                     * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("score"),
             )
-        ).localCheckpoint(eager=True)
-        nxt_ids = persistent_rdd_ids(spark) - before
+        )
         free_rdd_ids(spark, st_ids)
         st, st_ids = nxt, nxt_ids
     free_rdd_ids(spark, edge_ids)

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.superstep import free_rdd_ids, persistent_rdd_ids
+from ..operators.superstep import (
+    free_rdd_ids,
+    persistent_rdd_ids,
+    tracked_local_checkpoint as ckpt,
+)
 
 
 def longest_path_layers(edges: DataFrame, max_rounds: int = 1000) -> DataFrame:
@@ -47,40 +51,45 @@ def longest_path_layers(edges: DataFrame, max_rounds: int = 1000) -> DataFrame:
         e = prepartition_edges(edges.select("src", "dst"), n_part, by="src")
     edge_ids = persistent_rdd_ids(spark) - _pre
 
-    def ckpt(df: DataFrame) -> tuple[DataFrame, set]:
-        before = persistent_rdd_ids(spark)
-        out = df.localCheckpoint(eager=True)
-        return out, persistent_rdd_ids(spark) - before
-
     verts = (
         e.select(F.col("src").alias("vid"))
         .union(e.select(F.col("dst").alias("vid")))
         .distinct()
     )
     st, st_ids = ckpt(verts.select("vid", F.lit(0).cast("long").alias("layer")))
-    for _ in range(max_rounds):
-        msg = (
-            e.join(st.select(F.col("vid").alias("src"), "layer"), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg((F.max("layer") + 1).alias("_in"))
-        )
-        nxt, nxt_ids = ckpt(
-            st.join(msg, "vid", "left").select(
-                "vid",
-                F.greatest("layer", F.coalesce("_in", F.lit(0))).alias("layer"),
-                (F.coalesce("_in", F.lit(0)) > F.col("layer")).alias("_chg"),
+    try:
+        for _ in range(max_rounds):
+            msg = (
+                e.join(st.select(F.col("vid").alias("src"), "layer"), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg((F.max("layer") + 1).alias("_in"))
             )
-        )
-        changed = nxt.filter("_chg").limit(1).count()
-        nxt = nxt.drop("_chg")
-        free_rdd_ids(spark, st_ids)
-        st, st_ids = nxt, nxt_ids
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"no quiescence within {max_rounds} rounds — input has a cycle "
-            "or max_rounds < DAG depth"
-        )
-    free_rdd_ids(spark, edge_ids)
+            nxt, nxt_ids = ckpt(
+                st.join(msg, "vid", "left").select(
+                    "vid",
+                    F.greatest(
+                        "layer", F.coalesce("_in", F.lit(0))
+                    ).alias("layer"),
+                    (F.coalesce("_in", F.lit(0)) > F.col("layer")).alias("_chg"),
+                )
+            )
+            changed = nxt.filter("_chg").limit(1).count()
+            nxt = nxt.drop("_chg")
+            free_rdd_ids(spark, st_ids)
+            st, st_ids = nxt, nxt_ids
+            if changed == 0:
+                break
+        else:
+            # free BEFORE raising: a cycle-detect call must not pin the
+            # prepartitioned edge copy + final round state for the session
+            free_rdd_ids(spark, st_ids)
+            st_ids = set()
+            raise RuntimeError(
+                f"no quiescence within {max_rounds} rounds — input has a "
+                "cycle or max_rounds < DAG depth"
+            )
+    finally:
+        free_rdd_ids(spark, edge_ids)
+    # st stays pinned: its blocks back the returned DataFrame (same
+    # contract as run_ktruss/run_scc)
     return st.select("vid", "layer")

@@ -1811,9 +1811,14 @@ def _user_day_bip(spark, sf_dir):
 def _q_user_day_cooc(spark, sf_dir):
     from .operators.bipartite import cooccurrence
 
+    # max_center_degree=None: the oracle SQL is uncapped, and a day's user
+    # degree grows ~10x per sf (1356 at sf0.1) — the production default cap
+    # (10k) would silently drop hub days somewhere past sf1 and break
+    # engine/oracle parity. Exactness here, the cap stays the library
+    # default for uncontrolled inputs.
     return cooccurrence(
         _user_day_bip(spark, sf_dir), "user_id", "day",
-        min_shared=COOC_MIN_SHARED,
+        min_shared=COOC_MIN_SHARED, max_center_degree=None,
     ).select(F.col("a").alias("u1"), F.col("b").alias("u2"), "shared")
 
 
@@ -1871,13 +1876,17 @@ def _q_mis(spark, sf_dir):
 def _mis_sql(rounds: int) -> str:
     """Unrolled synchronous local-minimum MIS rounds; ``rounds`` is derived
     by oracle.mis_greedy (+1 no-op insurance round — past the fixpoint the
-    undecided set is empty, so extra rounds contribute nothing)."""
+    undecided set is empty, so extra rounds contribute nothing). The src !=
+    dst guards are insurance only (KC_SQL already excludes self-loops, and
+    the kc graph has no self-loop-only vertices for the universe to miss);
+    the plan's self-loop semantics live in plans/mis.py's docstring."""
     from .functions.hashing import md5_int63_sql
 
     h = md5_int63_sql("'mis:' || CAST(v AS VARCHAR)")
     parts = [
-        f"WITH und AS MATERIALIZED (SELECT src, dst FROM ({KC_SQL})",
-        "  UNION SELECT dst, src FROM (" + KC_SQL + ")),",
+        f"WITH und AS MATERIALIZED (SELECT src, dst FROM ({KC_SQL}) "
+        "WHERE src != dst",
+        "  UNION SELECT dst, src FROM (" + KC_SQL + ") WHERE src != dst),",
         f"u0 AS MATERIALIZED (SELECT v, {h} AS p FROM "
         "(SELECT DISTINCT src AS v FROM und)),",
     ]

@@ -822,3 +822,15 @@ def test_dag_layers_detects_cycle(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
     with _pytest.raises(RuntimeError, match="cycle"):
         longest_path_layers(cyc, max_rounds=10)
+
+
+def test_mis_self_loop_only_vertex_is_member(spark):
+    import numpy as _np
+
+    from minigraph_spark.plans.mis import run_mis
+
+    arr = _np.array([[1, 2], [3, 3]])
+    got = {r["vid"] for r in run_mis(_spark_edges(spark, arr)).collect()}
+    want, _ = oracle.mis_greedy(arr)
+    assert got == want
+    assert 3 in got  # self-loop-only vertex: isolated in the simple closure
