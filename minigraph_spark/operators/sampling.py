@@ -92,3 +92,84 @@ def stratified_sample(
         .filter(F.col("rank") <= k)
         .drop("_h")
     )
+
+
+NEG_SALT = "neg:"
+
+
+def negative_edge_samples(
+    edges: DataFrame, k: int, num_candidates: int | None = None
+) -> DataFrame:
+    """(vid, neg_vid, rank): up to k deterministic NON-neighbor samples per
+    vertex — the contrastive-training counterpart of deterministic_walks
+    (positive pairs from walks, negatives from here; both reproducible
+    across runs AND engines via the md5 idiom, so a training set can be
+    regenerated bit-identically from the raw graph).
+
+    Candidate j of vertex v targets the vertex whose compaction-dense id is
+    md5_int63('neg:' || v || ':' || j) % |V|; self-targets and true
+    neighbors (either direction) are rejected, surviving targets dedupe to
+    their smallest j, and the k smallest-j survivors win (rank 1..k, j
+    order). Vertices whose ``num_candidates`` (default 4k) candidates all
+    collide/reject yield fewer than k rows — deterministically.
+
+    Scale shape: dense ids come from one global row_number sort (the
+    vertex_compaction plan); candidates are V x m rows built in-row
+    (explode of a literal range), then one join onto the dense map, one
+    edge anti-join (both hash-partitioned), and a per-vertex top-k window.
+    No RNG state, no driver-side loops."""
+    from pyspark.sql import Window
+
+    m = num_candidates or 4 * k
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    verts = verts.persist()
+    n_verts = verts.count()
+    dense = verts.select(
+        "vid",
+        (F.row_number().over(Window.orderBy("vid")) - 1).alias("_dense"),
+    )
+    cand = (
+        verts.select("vid", F.explode(F.array(*[F.lit(j) for j in range(1, m + 1)])).alias("j"))
+        .select(
+            "vid", "j",
+            F.pmod(
+                md5_int63(
+                    F.concat_ws(
+                        "", F.lit(NEG_SALT), F.col("vid").cast("string"),
+                        F.lit(":"), F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(n_verts),
+            ).alias("_dense"),
+        )
+        .join(dense.withColumnRenamed("vid", "neg_vid"), "_dense")
+        .filter(F.col("neg_vid") != F.col("vid"))
+    )
+    # reject true neighbors in either direction
+    canon = edges.select(
+        F.least("src", "dst").alias("_a"), F.greatest("src", "dst").alias("_b")
+    ).distinct()
+    keyed = cand.select(
+        "vid", "j", "neg_vid",
+        F.least("vid", "neg_vid").alias("_a"),
+        F.greatest("vid", "neg_vid").alias("_b"),
+    )
+    non_edges = keyed.join(canon, ["_a", "_b"], "left_anti")
+    best = (
+        non_edges.groupBy("vid", "neg_vid")
+        .agg(F.min("j").alias("_jmin"))
+    )
+    w = Window.partitionBy("vid").orderBy("_jmin")
+    out = (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vid", "neg_vid", "rank")
+    )
+    out = out.persist()
+    out.count()
+    verts.unpersist()
+    return out

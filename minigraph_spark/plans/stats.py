@@ -159,3 +159,28 @@ def degree_histogram(edges: DataFrame, log_base: float = 2.0) -> DataFrame:
             F.max("deg").alias("max_degree"),
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(group, q<NN> ...): EXACT linear-interpolation quantiles of
+    ``value_col`` per group — Spark's `percentile` aggregate (not the
+    approx sketch), matching ANSI quantile_cont semantics so a SQL oracle
+    reproduces it bit-for-bit on the same doubles. The per-event-type
+    latency/value percentile readout of an events pipeline.
+
+    Scale shape: one hash-partitioned aggregation; exact percentiles hold
+    each group's values on its reducer (the accepted cost of exactness —
+    switch to approx_percentile's t-digest when a group's cardinality
+    exceeds reducer memory; the result then stops being oracle-exact)."""
+    aggs = [
+        F.round(
+            F.expr(f"percentile({value_col}, {q})"), 6
+        ).alias(f"q{int(q * 100):02d}")
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(*aggs, F.count(F.lit(1)).alias("n"))

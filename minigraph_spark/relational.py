@@ -2015,6 +2015,64 @@ def dag_layers_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
     return _dag_layers_sql(depth + 1)
 
 
+def _q_event_quantiles(spark, sf_dir):
+    """Exact per-event-type value percentiles (p50/p90/p99)."""
+    from .plans.stats import group_quantiles
+
+    return group_quantiles(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+_EVENT_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS q50,
+       ROUND(quantile_cont(value, 0.9), 6) AS q90,
+       ROUND(quantile_cont(value, 0.99), 6) AS q99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+NEG_K = 3  # negatives per vertex for the driver key (m = 4k candidates)
+
+
+def _q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negatives on the kc graph (pairs with
+    walk4_mod's positives)."""
+    from .operators.sampling import negative_edge_samples
+
+    return negative_edge_samples(kc_edges(spark, sf_dir), k=NEG_K)
+
+
+def _negative_samples_sql(k: int = NEG_K) -> str:
+    from .functions.hashing import md5_int63_sql
+
+    m = 4 * k
+    h = md5_int63_sql(
+        "'neg:' || CAST(v.v AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)"
+    )
+    return f"""
+WITH e AS MATERIALIZED ({KC_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+nv AS (SELECT COUNT(*) AS n FROM verts),
+dense AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS d
+          FROM verts),
+cand AS (SELECT v.v AS vid, t.j, {h} % nv.n AS dd
+         FROM verts v CROSS JOIN nv
+         CROSS JOIN (SELECT unnest(range(1, {m + 1})) AS j) t),
+tgt AS (SELECT c.vid, c.j, d.v AS neg_vid
+        FROM cand c JOIN dense d ON d.d = c.dd WHERE d.v != c.vid),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e),
+ne AS (SELECT t.vid, t.j, t.neg_vid FROM tgt t ANTI JOIN canon c
+       ON c.a = LEAST(t.vid, t.neg_vid) AND c.b = GREATEST(t.vid, t.neg_vid)),
+best AS (SELECT vid, neg_vid, MIN(j) AS jmin FROM ne GROUP BY vid, neg_vid),
+r AS (SELECT vid, neg_vid, CAST(row_number() OVER (
+        PARTITION BY vid ORDER BY jmin) AS INTEGER) AS rank FROM best)
+SELECT vid, neg_vid, rank FROM r WHERE rank <= {k}
+"""
+
+
 def _q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
@@ -2755,6 +2813,8 @@ QUERIES = {
     "stratified_sample_docs": _q_stratified_sample,
     "bigram_top20": _q_bigram_top20,
     "dag_layers_kc": _q_dag_layers,
+    "event_value_quantiles": _q_event_quantiles,
+    "negative_samples_kc": _q_negative_samples,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -3065,6 +3125,8 @@ _ORACLE_SQL_STATIC = {
     "butterfly_count_events": _BUTTERFLY_SQL,
     "scc_condensation": _SCC_CONDENSATION_SQL,
     "bigram_top20": _BIGRAM_SQL,
+    "event_value_quantiles": _EVENT_QUANTILES_SQL,
+    "negative_samples_kc": _negative_samples_sql(),
     "degree_hist_kc": DEGREE_HIST_SQL,
     "anf3_kc": _anf_sql(),
     "nf_curve_kc": _nf_curve_sql(),

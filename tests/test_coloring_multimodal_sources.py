@@ -619,3 +619,39 @@ def test_bigram_topk_matches_python(spark):
     got = [(r["bigram"], r["cnt"]) for r in
            bigram_topk(df, k=3).orderBy("rank").collect()]
     assert got == want
+
+
+def test_negative_samples_are_nonedges_and_deterministic(spark):
+    import hashlib
+
+    import numpy as np
+
+    from minigraph_spark.operators.sampling import negative_edge_samples
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 40, size=(120, 2))
+    df = spark.createDataFrame([(int(a), int(b)) for a, b in arr],
+                               "src long, dst long")
+    got = negative_edge_samples(df, k=2).collect()
+    und = {(int(a), int(b)) for a, b in arr} | {(int(b), int(a)) for a, b in arr}
+    verts = sorted({v for e in und for v in e})
+    dense = {i: v for i, v in enumerate(verts)}
+    for r in got:
+        assert (r["vid"], r["neg_vid"]) not in und
+        assert r["neg_vid"] != r["vid"]
+        assert 1 <= r["rank"] <= 2
+    # python mirror of the hash rule for one vertex
+    v = verts[0]
+    cands = []
+    for j in range(1, 9):
+        h = int(hashlib.md5(f"neg:{v}:{j}".encode()).hexdigest()[:15], 16)
+        t = dense[h % len(verts)]
+        if t != v and (v, t) not in und:
+            if t not in [c for _, c in cands]:
+                cands.append((j, t))
+    want = [t for _, t in cands[:2]]
+    mine = [r["neg_vid"] for r in sorted(
+        (r for r in got if r["vid"] == v), key=lambda r: r["rank"])]
+    assert mine == want
+    again = negative_edge_samples(df, k=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
