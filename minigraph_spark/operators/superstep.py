@@ -62,13 +62,23 @@ def free_rdd_ids(spark, ids: set) -> None:
             jmap[rid].unpersist(False)
 
 
-def tracked_local_checkpoint(df):
+def tracked_local_checkpoint(df, serialized: bool = False):
     """Eager localCheckpoint + the block ids it pinned, so the caller can
     free_rdd_ids them when the round state is superseded (the ADVICE-r3
     leak rule). One shared home for the snapshot/diff idiom every
-    iterative plan uses."""
+    iterative plan uses.
+
+    serialized=True persists MEMORY_AND_DISK_SER first so the checkpoint
+    inherits that level (localCheckpoint keeps an existing storage level) —
+    ~3-5x smaller heap per row, the SuperstepEngine state_storage='ser'
+    policy for E-scale round state (a 256M-edge symmetric closure held
+    deserialized OOMs a 48g heap; serialized it fits)."""
     spark = df.sparkSession
     before = persistent_rdd_ids(spark)
+    if serialized:
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel(True, True, False, False))
     out = df.localCheckpoint(eager=True)
     return out, persistent_rdd_ids(spark) - before
 

@@ -50,11 +50,23 @@ def mis_priority(col: Column) -> Column:
     return md5_int63(F.concat(F.lit(MIS_SALT), col.cast("string")))
 
 
-def run_mis(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
+def run_mis(
+    edges: DataFrame, max_rounds: int = 200, state_storage: str = "deser"
+) -> DataFrame:
     """(vid) members of the deterministic greedy MIS of the undirected
     simple closure of ``edges``. Self-loop-only vertices are always
     members (see module docstring); the result is maximal: every
-    non-member has a member neighbor."""
+    non-member has a member neighbor.
+
+    state_storage="ser" stores the E-scale round state (the shrinking
+    undecided-subgraph edge table) serialized — the SuperstepEngine policy
+    for graphs whose symmetric closure rivals heap size (a 256M-edge
+    deserialized closure OOMs a 48g heap; serialized it fits)."""
+    if state_storage not in ("deser", "ser"):
+        raise ValueError(
+            f"state_storage must be 'deser' or 'ser', got {state_storage!r}"
+        )
+    ser = state_storage == "ser"
     spark = edges.sparkSession
     verts = (
         edges.select(F.col("src").alias("v"))
@@ -62,7 +74,7 @@ def run_mis(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
         .distinct()
     )
     u, u_ids = ckpt(verts.select("v", mis_priority(F.col("v")).alias("p")))
-    cur, cur_ids = ckpt(symmetrize(edges))  # edges among undecided vertices
+    cur, cur_ids = ckpt(symmetrize(edges), serialized=ser)  # undecided-subgraph edges
 
     wins: list[DataFrame] = []
     win_ids: set = set()
@@ -98,7 +110,8 @@ def run_mis(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
             nxt_cur, nxt_cur_ids = ckpt(
                 cur.join(nxt_u.select(F.col("v").alias("src")), "src", "left_semi")
                 .join(nxt_u.select(F.col("v").alias("dst")), "dst", "left_semi")
-                .select("src", "dst")
+                .select("src", "dst"),
+                serialized=ser,
             )
             free_rdd_ids(spark, u_ids | cur_ids)
             u, u_ids = nxt_u, nxt_u_ids

@@ -510,7 +510,9 @@ def run_mis_scale(args) -> None:
     edges = _int_ids_if_rmat(spark.read.parquet(args.path), args)
     n = edges.count()
     t0 = time.time()
-    mis = run_mis(edges)
+    mis = run_mis(
+        edges, state_storage="ser" if args.state_ser else "deser"
+    )
     members = mis.count()
     wall = time.time() - t0
     print(
