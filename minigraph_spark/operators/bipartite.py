@@ -119,16 +119,52 @@ def cooccurrence(
     min_shared: int = 1,
     max_center_degree: int | None = DEFAULT_MAX_CENTER_DEGREE,
     center_buckets: int = 1,
+    normalize: str = "none",
 ) -> DataFrame:
-    """(a, b, shared): the one-mode projection of the bipartite table onto
-    its LEFT side — unordered left pairs a < b with ``shared`` = number of
-    distinct right-vertices adjacent to both; pairs below ``min_shared``
-    are dropped. Wedge centers are the right vertices; see the module
-    docstring for the cap/bucket scale knobs."""
+    """(a, b, shared[, jaccard]): the one-mode projection of the bipartite
+    table onto its LEFT side — unordered left pairs a < b with ``shared`` =
+    number of distinct right-vertices adjacent to both; pairs below
+    ``min_shared`` are dropped. Wedge centers are the right vertices; see
+    the module docstring for the cap/bucket scale knobs.
+
+    normalize="jaccard" appends jaccard = shared / (deg_a + deg_b - shared)
+    over the deduped bipartite degrees — the set-overlap similarity that
+    corrects raw co-occurrence's bias toward high-activity vertices. Two
+    V-row degree joins on the (already |pairs|-sized) projection output;
+    degrees are computed BEFORE the hub cap so the denominator reflects
+    true neighborhood sizes."""
+    if normalize not in ("none", "jaccard"):
+        raise ValueError(f"normalize must be none|jaccard, got {normalize!r}")
     b = _dedup(bip, left_col, right_col)
-    return _wedge_pairs(
+    if normalize == "jaccard":
+        b = b.persist()
+        b.count()
+    out = _wedge_pairs(
         b, "r", max_center_degree, center_buckets, min_shared=min_shared
     )
+    if normalize == "none":
+        return out
+    deg = b.groupBy("l").agg(F.count(F.lit(1)).alias("_d"))
+    res = (
+        out.join(
+            deg.select(F.col("l").alias("a"), F.col("_d").alias("_da")), "a"
+        )
+        .join(deg.select(F.col("l").alias("b"), F.col("_d").alias("_db")), "b")
+        .select(
+            "a", "b", "shared",
+            (
+                F.col("shared")
+                / (F.col("_da") + F.col("_db") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    # materialize before releasing the raw-pairs persist _wedge_pairs
+    # handed back, so neither intermediate stays pinned for the session
+    res = res.persist()
+    res.count()
+    out.unpersist()
+    b.unpersist()
+    return res
 
 
 def butterfly_count(

@@ -198,3 +198,42 @@ def bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFra
     top = counts.orderBy(F.desc("cnt"), "bigram").limit(k)
     w = Window.orderBy(F.desc("cnt"), "bigram")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def interarrival_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user_id, n_events, n_gaps, min_gap_s, max_gap_s, avg_gap_s) —
+    per-user inter-arrival statistics over the event timeline: gap = whole
+    seconds between consecutive events of the same user (epoch-second
+    difference, exact integers; ties on ts break by event id, the engine's
+    standard total order). Users with a single event report n_gaps=0 and
+    NULL gap stats.
+
+    The tempo profile behind sessionize()'s gap threshold — this is how
+    SESSION_GAP_SECONDS was calibrated — and the standard activity-cadence
+    feature for churn/abuse models. One shuffle (the per-user window) plus
+    a map-side-collapsing aggregation; avg is rounded to 6dp for
+    cross-engine float parity."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; the NTZ->TZ cast is
+    # wall-clock identity under the engine's UTC session tz, and the long
+    # cast then floors to whole epoch seconds (microsecond floorDiv)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    gap = (sec - F.lag(sec).over(w)).alias("_gap")
+    return (
+        events.select(user_col, gap)
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_gap").alias("n_gaps"),
+            F.min("_gap").alias("min_gap_s"),
+            F.max("_gap").alias("max_gap_s"),
+            F.round(F.avg("_gap"), 6).alias("avg_gap_s"),
+        )
+    )

@@ -1796,6 +1796,33 @@ FROM (
 """
 
 
+def _q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival statistics (whole-second gaps between
+    consecutive events) — the tempo profile that calibrated
+    SESSION_GAP_SECONDS. Spark cast(ts AS LONG) floors to the second;
+    the oracle mirrors it with date_trunc('second') before epoch."""
+    from .operators.textops import interarrival_stats
+
+    return interarrival_stats(_t(spark, sf_dir, "events"))
+
+
+_INTERARRIVAL_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(gap) AS n_gaps,
+       MIN(gap) AS min_gap_s,
+       MAX(gap) AS max_gap_s,
+       ROUND(AVG(gap), 6) AS avg_gap_s
+FROM (
+  SELECT user_id,
+         sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM (SELECT user_id, ts, event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events) s) t
+GROUP BY user_id
+"""
+
+
 COOC_MIN_SHARED = 25  # 27 pairs at sf0.001, 4382 at sf0.01 — non-trivial
 # at every sf (per-user active days ~19-30, so the co-active tail starts ~25)
 
@@ -1832,6 +1859,35 @@ SELECT b1.l AS u1, b2.l AS u2, COUNT(*) AS shared
 FROM b b1 JOIN b b2 ON b1.r = b2.r AND b1.l < b2.l
 GROUP BY b1.l, b2.l
 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+"""
+
+
+def _q_cooc_jaccard(spark, sf_dir):
+    """Jaccard-normalized co-occurrence: the raw shared-day projection
+    rescaled by each pair's union of active days — the similarity form
+    that de-biases hyper-active users (round 6dp for float parity)."""
+    from .operators.bipartite import cooccurrence
+
+    return cooccurrence(
+        _user_day_bip(spark, sf_dir), "user_id", "day",
+        min_shared=COOC_MIN_SHARED, max_center_degree=None,
+        normalize="jaccard",
+    ).select(
+        F.col("a").alias("u1"), F.col("b").alias("u2"), "shared",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_COOC_JACCARD_SQL = f"""
+WITH b AS MATERIALIZED ({_COOC_BIP_SQL}),
+deg AS (SELECT l, COUNT(*) AS d FROM b GROUP BY l),
+p AS (SELECT b1.l AS u1, b2.l AS u2, COUNT(*) AS shared
+      FROM b b1 JOIN b b2 ON b1.r = b2.r AND b1.l < b2.l
+      GROUP BY b1.l, b2.l
+      HAVING COUNT(*) >= {COOC_MIN_SHARED})
+SELECT p.u1, p.u2, p.shared,
+       ROUND(CAST(p.shared AS DOUBLE) / (d1.d + d2.d - p.shared), 6) AS jaccard
+FROM p JOIN deg d1 ON p.u1 = d1.l JOIN deg d2 ON p.u2 = d2.l
 """
 
 
@@ -2815,6 +2871,8 @@ QUERIES = {
     "dag_layers_kc": _q_dag_layers,
     "event_value_quantiles": _q_event_quantiles,
     "negative_samples_kc": _q_negative_samples,
+    "cooc_jaccard": _q_cooc_jaccard,
+    "interarrival_stats": _q_interarrival,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -3122,6 +3180,8 @@ _ORACLE_SQL_STATIC = {
     "eigen3_kc": _eigenvector_sql(),
     "katz3_kc": _katz_sql(),
     "user_day_cooccurrence": _USER_DAY_COOC_SQL,
+    "cooc_jaccard": _COOC_JACCARD_SQL,
+    "interarrival_stats": _INTERARRIVAL_SQL,
     "butterfly_count_events": _BUTTERFLY_SQL,
     "scc_condensation": _SCC_CONDENSATION_SQL,
     "bigram_top20": _BIGRAM_SQL,

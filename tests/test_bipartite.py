@@ -107,3 +107,31 @@ def test_butterfly_count_empty_and_no_butterflies(spark):
         ]
         == 0
     )
+
+
+def test_cooccurrence_jaccard_matches_brute(spark):
+    pairs = _random_bip(seed=13)
+    right_of = {}
+    for l, r in pairs:
+        right_of.setdefault(l, set()).add(r)
+    want = {
+        (a, b): len(right_of[a] & right_of[b])
+        / len(right_of[a] | right_of[b])
+        for a, b in itertools.combinations(sorted(right_of), 2)
+        if right_of[a] & right_of[b]
+    }
+    rows = cooccurrence(
+        _spark_bip(spark, pairs), "u", "it", normalize="jaccard"
+    ).collect()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # shared column still present and consistent with jaccard's numerator
+    for r in rows:
+        assert r["shared"] == len(right_of[r["a"]] & right_of[r["b"]])
+
+
+def test_cooccurrence_normalize_validates(spark):
+    with pytest.raises(ValueError):
+        cooccurrence(_spark_bip(spark, [(1, 2)]), "u", "it", normalize="x")

@@ -655,3 +655,35 @@ def test_negative_samples_are_nonedges_and_deterministic(spark):
     assert mine == want
     again = negative_edge_samples(df, k=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_interarrival_stats_tiny(spark):
+    """Hand-computable timeline: user 1 has gaps 60s and 3600s (sub-second
+    parts floor away), user 2 has a single event (NULL gap stats), and the
+    tie on user 3's equal timestamps breaks by event_id (gap 0)."""
+    import datetime as dt
+
+    from minigraph_spark.operators.textops import interarrival_stats
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(seconds=60, microseconds=100)),
+        (3, 1, t0 + dt.timedelta(seconds=3660)),
+        (4, 2, t0),
+        (5, 3, t0),
+        (6, 3, t0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in interarrival_stats(ev).collect()
+    }
+    assert got[1]["n_events"] == 3 and got[1]["n_gaps"] == 2
+    assert got[1]["min_gap_s"] == 60 and got[1]["max_gap_s"] == 3600
+    assert abs(got[1]["avg_gap_s"] - 1830.0) < 1e-9
+    assert got[2]["n_events"] == 1 and got[2]["n_gaps"] == 0
+    assert got[2]["min_gap_s"] is None and got[2]["avg_gap_s"] is None
+    assert got[3]["n_gaps"] == 1 and got[3]["min_gap_s"] == 0
