@@ -1922,6 +1922,48 @@ WHERE cs.scc_id != cd.scc_id
 """
 
 
+def _q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition of the scc graph (CORE/IN/OUT/TUBE/
+    TENDRIL/DISC per vertex) — the structural census the SCC machinery
+    exists for."""
+    from .plans.bowtie import run_bowtie
+
+    return run_bowtie(scc_edges(spark, sf_dir))
+
+
+_BOWTIE_SQL = f"""
+WITH RECURSIVE e AS MATERIALIZED ({SCC_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+r AS (SELECT v AS a, v AS b FROM verts
+      UNION
+      SELECT r.a, e.dst AS b FROM r JOIN e ON e.src = r.b),
+comp AS MATERIALIZED (SELECT p.a AS vid, MIN(p.b) AS scc_id
+      FROM r p JOIN r q ON q.a = p.b AND q.b = p.a GROUP BY p.a),
+core AS (SELECT scc_id AS c FROM comp GROUP BY scc_id
+         ORDER BY COUNT(*) DESC, scc_id ASC LIMIT 1),
+cr AS MATERIALIZED (SELECT DISTINCT ca.scc_id AS a, cb.scc_id AS b
+      FROM r JOIN comp ca ON ca.vid = r.a JOIN comp cb ON cb.vid = r.b),
+outc AS MATERIALIZED (
+      SELECT DISTINCT b AS c FROM cr WHERE a IN (SELECT c FROM core)),
+inc AS MATERIALIZED (
+      SELECT DISTINCT a AS c FROM cr WHERE b IN (SELECT c FROM core)),
+fin AS MATERIALIZED (
+      SELECT DISTINCT cr.b AS c FROM cr JOIN inc ON inc.c = cr.a),
+bout AS MATERIALIZED (
+      SELECT DISTINCT cr.a AS c FROM cr JOIN outc ON outc.c = cr.b)
+SELECT comp.vid,
+       CASE WHEN comp.scc_id IN (SELECT c FROM core) THEN 'CORE'
+            WHEN comp.scc_id IN (SELECT c FROM inc) THEN 'IN'
+            WHEN comp.scc_id IN (SELECT c FROM outc) THEN 'OUT'
+            WHEN comp.scc_id IN (SELECT c FROM fin)
+             AND comp.scc_id IN (SELECT c FROM bout) THEN 'TUBE'
+            WHEN comp.scc_id IN (SELECT c FROM fin)
+              OR comp.scc_id IN (SELECT c FROM bout) THEN 'TENDRIL'
+            ELSE 'DISC' END AS region
+FROM comp
+"""
+
+
 def _q_mis(spark, sf_dir):
     """Deterministic greedy MIS (fixed md5 priorities) on the kc closure."""
     from .plans.mis import run_mis
@@ -2873,6 +2915,7 @@ QUERIES = {
     "negative_samples_kc": _q_negative_samples,
     "cooc_jaccard": _q_cooc_jaccard,
     "interarrival_stats": _q_interarrival,
+    "bowtie_scc": _q_bowtie,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -3184,6 +3227,7 @@ _ORACLE_SQL_STATIC = {
     "interarrival_stats": _INTERARRIVAL_SQL,
     "butterfly_count_events": _BUTTERFLY_SQL,
     "scc_condensation": _SCC_CONDENSATION_SQL,
+    "bowtie_scc": _BOWTIE_SQL,
     "bigram_top20": _BIGRAM_SQL,
     "event_value_quantiles": _EVENT_QUANTILES_SQL,
     "negative_samples_kc": _negative_samples_sql(),

@@ -149,3 +149,35 @@ def test_wcc_decremental_equals_batch_on_remaining(spark):
     remaining = np.array(sorted(canon - removed))
     want = oracle.wcc_labels(remaining)
     assert labels_dict(res.state) == want
+
+
+def test_bowtie_textbook_graph(spark):
+    """The canonical bow-tie: core {1,2}; 0 flows in, 3 flows out; 4 hangs
+    off IN, 5 leads into OUT (tendrils); 6 bypasses the core IN->OUT
+    (tube); 7->8 is a separate weak component (disconnected)."""
+    from minigraph_spark.plans.bowtie import run_bowtie
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (0, 1), (2, 3), (0, 4), (5, 3), (0, 6), (6, 3),
+         (7, 8)],
+        "src long, dst long",
+    )
+    got = {r["vid"]: r["region"] for r in run_bowtie(edges).collect()}
+    assert got == {
+        0: "IN", 1: "CORE", 2: "CORE", 3: "OUT", 4: "TENDRIL",
+        5: "TENDRIL", 6: "TUBE", 7: "DISC", 8: "DISC",
+    }
+
+
+def test_bowtie_acyclic_singleton_core_and_empty(spark):
+    from minigraph_spark.plans.bowtie import run_bowtie
+
+    # pure DAG: every SCC is a singleton; the deterministic core is the
+    # smallest vid among them (0), making 1 its OUT and 2 disconnected
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    got = {r["vid"]: r["region"] for r in run_bowtie(edges).collect()}
+    assert got[0] == "CORE" and got[1] == "OUT"
+    assert got[2] == "DISC" and got[3] == "DISC"
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert run_bowtie(empty).count() == 0
