@@ -184,3 +184,71 @@ def group_quantiles(
         for q in quantiles
     ]
     return df.groupBy(group_col).agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+
+def rich_club(edges: DataFrame, max_k: int | None = None) -> DataFrame:
+    """(k, n_nodes, n_edges, phi) for k = 0 .. max_degree-1 over the simple
+    undirected closure — the rich-club connectivity curve (Zhou &
+    Mondragon 2004): n_nodes = vertices of degree > k, n_edges = closure
+    edges with BOTH endpoints of degree > k, phi = 2*n_edges /
+    (n_nodes*(n_nodes-1)), NULL when fewer than two qualifying vertices.
+    The standard "do hubs preferentially wire to hubs" census of a link
+    graph (the un-normalized curve; divide by a degree-preserving random
+    baseline to de-bias, which needs graph randomization, not a plan).
+
+    Scale shape: everything aggregates BEFORE the per-k expansion — one
+    E-row closure dedup, one V-row degree agg, one E-row min-endpoint-
+    degree join, then two tiny histograms (<= distinct-degree rows). The
+    per-k sums are theta-joins of the k-grid against those broadcast
+    histograms: map-side, no shuffle, O(max_k * distinct_degrees) work.
+    Pass ``max_k`` to cap the grid on graphs with mega-degree hubs (the
+    curve's tail above the 2nd-highest degree is degenerate anyway:
+    n_nodes <= 1)."""
+    from ..operators.project import symmetrize
+
+    canon = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    deg = (
+        canon.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    em = (
+        canon.join(
+            deg.select(F.col("vid").alias("src"), F.col("deg").alias("_sd")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("vid").alias("dst"), F.col("deg").alias("_dd")),
+            "dst",
+        )
+        .select(F.least("_sd", "_dd").alias("m"))
+    )
+    vhist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nv"))
+    ehist = em.groupBy("m").agg(F.count(F.lit(1)).alias("ne"))
+    top = deg.agg(F.max("deg").alias("mx")).collect()[0]["mx"]
+    if top is None:
+        return edges.sparkSession.createDataFrame(
+            [], "k long, n_nodes long, n_edges long, phi double"
+        )
+    hi = min(top - 1, max_k) if max_k is not None else top - 1
+    spark = edges.sparkSession
+    ks = spark.range(0, hi + 1).select(F.col("id").alias("k"))
+    nk = (
+        ks.join(F.broadcast(vhist), vhist.deg > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("nv"), F.lit(0)).alias("n_nodes"))
+    )
+    ek = (
+        ks.join(F.broadcast(ehist), ehist.m > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ne"), F.lit(0)).alias("n_edges"))
+    )
+    phi = F.when(
+        F.col("n_nodes") >= 2,
+        F.round(
+            (F.lit(2) * F.col("n_edges")).cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"),
+            6,
+        ),
+    )
+    return nk.join(ek, "k").select("k", "n_nodes", "n_edges", phi.alias("phi"))

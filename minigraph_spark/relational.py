@@ -1922,6 +1922,37 @@ WHERE cs.scc_id != cd.scc_id
 """
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club connectivity curve phi(k) on the kc graph — do hubs
+    preferentially wire to hubs."""
+    from .plans.stats import rich_club
+
+    return rich_club(kc_edges(spark, sf_dir))
+
+
+_RICH_CLUB_SQL = f"""
+WITH canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+  FROM ({KC_SQL}) WHERE src != dst),
+deg AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT s AS v FROM canon UNION ALL SELECT d FROM canon) GROUP BY v),
+em AS MATERIALIZED (
+  SELECT LEAST(a.deg, b.deg) AS m
+  FROM canon JOIN deg a ON a.v = canon.s JOIN deg b ON b.v = canon.d),
+ks AS (SELECT UNNEST(range(0, (SELECT MAX(deg) FROM deg))) AS k)
+SELECT k,
+       (SELECT COUNT(*) FROM deg WHERE deg > k) AS n_nodes,
+       (SELECT COUNT(*) FROM em WHERE m > k) AS n_edges,
+       CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg > k) >= 2 THEN ROUND(
+         CAST(2 * (SELECT COUNT(*) FROM em WHERE m > k) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM deg WHERE deg > k)
+                * ((SELECT COUNT(*) FROM deg WHERE deg > k) - 1) AS DOUBLE),
+         6) END AS phi
+FROM ks
+"""
+
+
 def _q_bowtie(spark, sf_dir):
     """Broder bow-tie decomposition of the scc graph (CORE/IN/OUT/TUBE/
     TENDRIL/DISC per vertex) — the structural census the SCC machinery
@@ -2916,6 +2947,7 @@ QUERIES = {
     "cooc_jaccard": _q_cooc_jaccard,
     "interarrival_stats": _q_interarrival,
     "bowtie_scc": _q_bowtie,
+    "rich_club_kc": _q_rich_club,
     # --- block 2: last verified round 2 ---
     "ann_cosine_topk": _q_ann_topk,
     "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -3228,6 +3260,7 @@ _ORACLE_SQL_STATIC = {
     "butterfly_count_events": _BUTTERFLY_SQL,
     "scc_condensation": _SCC_CONDENSATION_SQL,
     "bowtie_scc": _BOWTIE_SQL,
+    "rich_club_kc": _RICH_CLUB_SQL,
     "bigram_top20": _BIGRAM_SQL,
     "event_value_quantiles": _EVENT_QUANTILES_SQL,
     "negative_samples_kc": _negative_samples_sql(),

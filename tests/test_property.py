@@ -200,3 +200,36 @@ def test_chain_fixture_structure_and_wcc(spark, tmp_path):
     p2 = ensure_chain_parquet(19 * 50, chain_len=20,
                               directory=str(tmp_path / "again"))
     assert dir_content_md5(p) == dir_content_md5(p2)
+
+
+def test_rich_club_matches_brute(spark):
+    """phi(k) vs a dict/set brute force on a small random digraph,
+    including the NULL tail where fewer than two vertices qualify."""
+    import numpy as np
+
+    from minigraph_spark.plans.stats import rich_club
+
+    rng = np.random.default_rng(5)
+    pairs = {
+        (int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+        for _ in range(120)
+    }
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    mx = max(deg.values())
+    got = {r["k"]: r for r in rich_club(edges).collect()}
+    assert sorted(got) == list(range(mx))
+    for k in range(mx):
+        nodes = {v for v, d in deg.items() if d > k}
+        es = sum(1 for a, b in und if a in nodes and b in nodes)
+        assert got[k]["n_nodes"] == len(nodes)
+        assert got[k]["n_edges"] == es
+        if len(nodes) >= 2:
+            want = 2.0 * es / (len(nodes) * (len(nodes) - 1))
+            assert abs(got[k]["phi"] - want) < 1e-6
+        else:
+            assert got[k]["phi"] is None
