@@ -11,6 +11,7 @@ scale evidence with one command per row:
     python scripts/run_at_scale.py --algo lpa       --power 27 --edges 1000000000
     python scripts/run_at_scale.py --algo tri       --power 25 --edges 256000000 --buckets 4
     python scripts/run_at_scale.py --algo scc       --power 23 --edges 64000000
+    python scripts/run_at_scale.py --algo bowtie    --power 23 --edges 64000000
     python scripts/run_at_scale.py --algo anf       --power 23 --edges 64000000 --depth 3
     python scripts/run_at_scale.py --algo wedges    --power 25 --edges 256000000
     python scripts/run_at_scale.py --algo wcc_dec   --power 23 --edges 64000000
@@ -306,6 +307,32 @@ def run_scc_scale(args) -> None:
     print(
         f"scc: {stats['n_scc']} components, giant {stats['giant']} in "
         f"{wall:.0f}s (+{time.time() - t0:.0f}s stats); {_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
+def run_bowtie_scale(args) -> None:
+    from minigraph_spark.plans.bowtie import run_bowtie
+
+    spark = _spark(f"bowtie_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; {_load()}", flush=True)
+    t0 = time.time()
+    regions = run_bowtie(rmat)
+    wall = time.time() - t0
+    census = {
+        r["region"]: r["n"]
+        for r in regions.groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(
+        f"bowtie: {wall:.0f}s; census "
+        + " ".join(f"{k}={census.get(k, 0)}" for k in
+                   ("CORE", "IN", "OUT", "TUBE", "TENDRIL", "DISC"))
+        + f"; {_load()}",
         flush=True,
     )
     spark.stop()
@@ -630,7 +657,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--algo", required=True,
                     choices=["pr", "pr_fixed", "pr_resume", "wcc", "lpa", "tri",
-                             "kcore", "coreness", "scc", "anf", "wedges",
+                             "kcore", "coreness", "scc", "bowtie", "anf",
+                             "wedges",
                              "wcc_dec", "bfs_dec", "hits", "ktruss",
                              "linkpred", "butterfly", "mis", "dag"])
     ap.add_argument("--phase", choices=["interrupt", "resume", "control"],
@@ -706,6 +734,7 @@ def main() -> None:
         "kcore": run_kcore_scale,
         "coreness": run_coreness_scale,
         "scc": run_scc_scale,
+        "bowtie": run_bowtie_scale,
         "anf": run_anf_scale,
         "wedges": run_wedges,
         "wcc_dec": run_wcc_dec,
