@@ -367,3 +367,75 @@ def ensure_chain_parquet(
             list(ex.map(_write_chain_part, jobs))
     publish_dir(tmp, path)
     return path
+
+
+def _write_embedding_part(args) -> None:
+    first_id, n, dim, n_clusters, seed, part_path = args
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Mixture-of-Gaussians corpus: cluster centers regenerated identically
+    # in every worker from `seed`; per-chunk noise seeded by the chunk's
+    # first id, so the table is deterministic from (n, dim, clusters, seed)
+    # regardless of chunking/worker count. Clustered data (not isotropic
+    # noise) is what makes IVF/LSH recall curves meaningful.
+    centers = np.random.default_rng(seed).standard_normal((n_clusters, dim)) * 3.0
+    ids = np.arange(first_id, first_id + n, dtype=np.int64)
+    cluster = (ids % n_clusters).astype(np.int64)
+    noise = np.random.default_rng(seed + 1 + first_id).standard_normal((n, dim))
+    vecs = (centers[cluster] + noise).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1), pa.float32()), dim
+                ).cast(pa.list_(pa.float32())),
+            }
+        ),
+        part_path,
+    )
+
+
+def ensure_embeddings_parquet(
+    num_vecs: int,
+    dim: int = 64,
+    n_clusters: int = 256,
+    seed: int = 42,
+    directory: str = "/tmp",
+    chunk: int = 1_000_000,
+    workers: int = 8,
+) -> str:
+    """Deterministic (vec_id, embedding:array<float>) corpus for ANN
+    at-scale evidence — mixture of `n_clusters` Gaussians so approximate
+    indexes have real structure to exploit. Same storage-backed cache
+    protocol as the R-MAT/chains fixtures."""
+    import os
+    import shutil
+    from concurrent.futures import ProcessPoolExecutor
+
+    path = (
+        f"{directory}/minigraph_emb_v{num_vecs}_d{dim}_c{n_clusters}_s{seed}_g1"
+        ".parquet"
+    )
+    if os.path.exists(path):
+        return path
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    jobs = []
+    done = 0
+    while done < num_vecs:
+        n = min(chunk, num_vecs - done)
+        jobs.append(
+            (done, n, dim, n_clusters, seed, f"{tmp}/part-{len(jobs):05d}.parquet")
+        )
+        done += n
+    if len(jobs) == 1:
+        _write_embedding_part(jobs[0])
+    else:
+        with ProcessPoolExecutor(max_workers=min(workers, len(jobs))) as ex:
+            list(ex.map(_write_embedding_part, jobs))
+    publish_dir(tmp, path)
+    return path

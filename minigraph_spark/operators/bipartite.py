@@ -127,6 +127,20 @@ def cooccurrence(
     ``min_shared`` are dropped. Wedge centers are the right vertices; see
     the module docstring for the cap/bucket scale knobs.
 
+    HUB-CAP SEMANTICS (read before trusting ``shared`` at scale): with the
+    default ``max_center_degree``, every center whose degree exceeds the
+    cap is dropped ENTIRELY — all co-occurrence mass flowing through that
+    center vanishes from ``shared``, it is not sampled or down-weighted.
+    Unlike linkpred (where 1/ln(deg) makes hub contributions ~0), a hub
+    center here carries semantically meaningful counts: two users sharing
+    one very busy day lose that day from their count. The capped result is
+    therefore a LOWER BOUND on true co-occurrence, exact for pairs whose
+    shared centers are all sub-cap. Pass ``max_center_degree=None`` for
+    exact counts (quadratic wedge cost on the hottest center), and note
+    that normalize="jaccard" uses TRUE pre-cap degrees in its denominator,
+    so capped jaccard underestimates similarity rather than renormalizing
+    the loss away.
+
     normalize="jaccard" appends jaccard = shared / (deg_a + deg_b - shared)
     over the deduped bipartite degrees — the set-overlap similarity that
     corrects raw co-occurrence's bias toward high-activity vertices. Two

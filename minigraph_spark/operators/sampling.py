@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int63
+from .superstep import free_rdd_ids, persistent_rdd_ids
 
 
 def deterministic_walks(edges: DataFrame, seeds: list[int], steps: int) -> DataFrame:
@@ -113,12 +114,16 @@ def negative_edge_samples(
     order). Vertices whose ``num_candidates`` (default 4k) candidates all
     collide/reject yield fewer than k rows — deterministically.
 
-    Scale shape: dense ids come from one global row_number sort (the
-    vertex_compaction plan); candidates are V x m rows built in-row
-    (explode of a literal range), then one join onto the dense map, one
-    edge anti-join (both hash-partitioned), and a per-vertex top-k window.
-    No RNG state, no driver-side loops."""
+    Scale shape: dense ids come from compaction.compact_ids_scalable (one
+    range shuffle + an Arrow prefix-sum pass — the same rank-by-vid mapping
+    as the vertex_compaction plan WITHOUT its single-partition window sort,
+    ADVICE-r4); candidates are V x m rows built in-row (explode of a
+    literal range), then one join onto the dense map, one edge anti-join
+    (both hash-partitioned), and a per-vertex top-k window. No RNG state,
+    no driver-side loops."""
     from pyspark.sql import Window
+
+    from .compaction import compact_ids_scalable
 
     m = num_candidates or 4 * k
     verts = (
@@ -128,10 +133,11 @@ def negative_edge_samples(
     )
     verts = verts.persist()
     n_verts = verts.count()
-    dense = verts.select(
-        "vid",
-        (F.row_number().over(Window.orderBy("vid")) - 1).alias("_dense"),
-    )
+    # compact_ids_scalable returns its mapping persisted; track the block
+    # ids so they can be freed once the samples are materialized below
+    before = persistent_rdd_ids(edges.sparkSession)
+    dense = compact_ids_scalable(verts).withColumnRenamed("dense_id", "_dense")
+    dense_blocks = persistent_rdd_ids(edges.sparkSession) - before
     cand = (
         verts.select("vid", F.explode(F.array(*[F.lit(j) for j in range(1, m + 1)])).alias("j"))
         .select(
@@ -172,4 +178,5 @@ def negative_edge_samples(
     out = out.persist()
     out.count()
     verts.unpersist()
+    free_rdd_ids(edges.sparkSession, dense_blocks)
     return out

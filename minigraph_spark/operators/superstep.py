@@ -68,18 +68,25 @@ def tracked_local_checkpoint(df, serialized: bool = False):
     leak rule). One shared home for the snapshot/diff idiom every
     iterative plan uses.
 
-    serialized=True persists MEMORY_AND_DISK_SER first so the checkpoint
-    inherits that level (localCheckpoint keeps an existing storage level) —
+    serialized=True passes MEMORY_AND_DISK_SER as the checkpoint's own
+    storageLevel (the PySpark 4.0+ Dataset.localCheckpoint parameter) —
     ~3-5x smaller heap per row, the SuperstepEngine state_storage='ser'
     policy for E-scale round state (a 256M-edge symmetric closure held
-    deserialized OOMs a 48g heap; serialized it fits)."""
+    deserialized OOMs a 48g heap; serialized it fits). ADVICE-r4: the old
+    persist-then-checkpoint idiom did NOT work for Datasets — localCheckpoint
+    materializes a NEW internal RDD at the default Deserialized level
+    (inheriting an existing level is an RDD-API behavior only), so it pinned
+    a deserialized checkpoint PLUS a redundant serialized cache copy."""
     spark = df.sparkSession
     before = persistent_rdd_ids(spark)
     if serialized:
         from pyspark.storagelevel import StorageLevel
 
-        df = df.persist(StorageLevel(True, True, False, False))
-    out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel(True, True, False, False)
+        )
+    else:
+        out = df.localCheckpoint(eager=True)
     return out, persistent_rdd_ids(spark) - before
 
 

@@ -17,7 +17,12 @@ next round re-propagates within the shrunken class subgraphs. A pure DAG
 resolves in ONE round (every vertex gets a distinct (F, B) pair or F == B),
 which kills the chain pathology that plagues coloring-based SCC; typical
 web graphs (giant SCC + shallow periphery) finish in 2-4 rounds. Worst
-case is adversarial (alternating splits), bounded by max_rounds.
+case is a CHAIN OF SCCs (a path of 2-cycles: each round resolves only the
+chain ends whose F and B agree, so rounds grow linearly with chain depth)
+— adversarial, not web-shaped; measured flat phase counts as R-MAT grew
+64M -> 256M edges, and bounded by max_rounds (raise it for deliberately
+deep condensation chains; the loop raises RuntimeError rather than
+returning a partial labeling).
 
 Scale shape: each round is two directed min-label fixpoints — exactly the
 superstep engine's WCC machinery with pointer jumping (valid under

@@ -166,23 +166,43 @@ def group_quantiles(
     group_col: str,
     value_col: str,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
-    """(group, q<NN> ...): EXACT linear-interpolation quantiles of
-    ``value_col`` per group — Spark's `percentile` aggregate (not the
-    approx sketch), matching ANSI quantile_cont semantics so a SQL oracle
-    reproduces it bit-for-bit on the same doubles. The per-event-type
-    latency/value percentile readout of an events pipeline.
+    """(group, q<NN> ...): quantiles of ``value_col`` per group — the
+    per-event-type latency/value percentile readout of an events pipeline.
 
-    Scale shape: one hash-partitioned aggregation; exact percentiles hold
-    each group's values on its reducer (the accepted cost of exactness —
-    switch to approx_percentile's t-digest when a group's cardinality
-    exceeds reducer memory; the result then stops being oracle-exact)."""
-    aggs = [
-        F.round(
-            F.expr(f"percentile({value_col}, {q})"), 6
-        ).alias(f"q{int(q * 100):02d}")
-        for q in quantiles
-    ]
+    Default (exact=False) uses `approx_percentile` (Greenwald-Khanna
+    sketch, O(accuracy) reducer memory per group regardless of group size)
+    — the only default that survives the 100-TB shape of this table: a
+    handful of event types over 10^12 rows puts ~10^11 doubles of ONE
+    group on one reducer under the exact aggregate, a guaranteed OOM
+    (ADVICE/VERDICT r4). approx_accuracy trades memory for error: rank
+    error <= n/accuracy rows (10k => p99 of a 10^9-row group lands within
+    +-0.01% of true rank).
+
+    exact=True restores Spark's `percentile` aggregate — EXACT linear
+    interpolation matching ANSI quantile_cont bit-for-bit on the same
+    doubles, which is what a SQL oracle checks; reducer memory is then
+    O(group size), so reserve it for bounded groups (the driver face runs
+    it at sf scale)."""
+    if exact:
+        aggs = [
+            F.round(
+                F.expr(f"percentile({value_col}, {q})"), 6
+            ).alias(f"q{int(q * 100):02d}")
+            for q in quantiles
+        ]
+    else:
+        aggs = [
+            F.round(
+                F.expr(
+                    f"approx_percentile({value_col}, {q}, {approx_accuracy})"
+                ).cast("double"),
+                6,
+            ).alias(f"q{int(q * 100):02d}")
+            for q in quantiles
+        ]
     return df.groupBy(group_col).agg(*aggs, F.count(F.lit(1)).alias("n"))
 
 

@@ -2145,10 +2145,14 @@ def dag_layers_oracle_sql(sf_dir: str = _DRIVER_SF_DIR) -> str:
 
 
 def _q_event_quantiles(spark, sf_dir):
-    """Exact per-event-type value percentiles (p50/p90/p99)."""
+    """Exact per-event-type value percentiles (p50/p90/p99) — exact=True
+    is the oracle face (quantile_cont parity); the operator's DEFAULT is
+    the scale-safe approx_percentile sketch (see group_quantiles)."""
     from .plans.stats import group_quantiles
 
-    return group_quantiles(_t(spark, sf_dir, "events"), "event_type", "value")
+    return group_quantiles(
+        _t(spark, sf_dir, "events"), "event_type", "value", exact=True
+    )
 
 
 _EVENT_QUANTILES_SQL = """
@@ -2912,72 +2916,25 @@ def _q_bfs_incremental_mod(spark, sf_dir):
 
 
 # Dict ORDER is a driver contract: the per-round CORRECTNESS check samples the
-# FIRST ~50 keys in dict order.  Round-4 ordering policy (VERDICT r3 item #1):
-#   block 1 — the 7 keys never driver-verified in any round (r1-r3), plus the
-#             keys NEW in round 4 (decode_png_real, decode_jpeg_real);
-#   block 2 — the 18 keys last verified in round 2;
-#   block 3 — the 50 keys verified green in round 3 (25 of them land inside the
-#             window this round; the 25 tail keys already hold r03-green rows).
-# Rotate blocks each round while the 50-key cap persists so every key keeps a
-# fresh driver-green row.
+# FIRST ~50 keys in dict order.
+#
+# ROTATION RULE (institutionalized, VERDICT r4 item #1): while the 50-key cap
+# persists, ALTERNATE the two halves of the registry every round —
+#   block 1: keys whose newest driver-green row is OLDEST (one round stale),
+#            plus any keys NEW this round (never driver-verified);
+#   block 2: a handful of last-round-green keys whose underlying CODE changed
+#            this round (regression canaries for the round's edits);
+#   tail:    everything verified green last round.
+# Every key is then driver-verified at least every other round, and the union
+# of any two consecutive CORRECTNESS files covers all 95 keys.
+#
+# Round-5 instance: block 1 = the 45 keys green only in r03 (rotated out of
+# the r04 window); block 2 = 5 r04-green keys exercising round-5 edits
+# (group_quantiles exact flag, negative-sample dense ids via
+# compact_ids_scalable, serialized localCheckpoint in tracked_local_checkpoint,
+# shared compaction/superstep cores).
 QUERIES = {
-    # --- block 1: never driver-verified (rounds 1-3) ---
-    "kcore14_kc": _q_kcore,
-    "ktruss4_kc": _q_ktruss,
-    "wcc_decremental_snr": _q_wcc_decremental_snr,
-    "bfs_decremental_mod": _q_bfs_decremental_mod,
-    "decode_video_real": _q_decode_video_real,
-    "frame_sample_real": _q_frame_sample_real,
-    "sessionize_events": _q_sessionize,
-    # new in round 4, so also never verified yet
-    "decode_png_real": _q_decode_png_real,
-    "decode_jpeg_real": _q_decode_jpeg_real,
-    "decode_mp4_real": _q_decode_mp4_real,
-    "coreness_kc": _q_coreness,
-    "katz3_kc": _q_katz,
-    "user_day_cooccurrence": _q_user_day_cooc,
-    "butterfly_count_events": _q_butterflies,
-    "scc_condensation": _q_scc_condensation,
-    "mis_kc": _q_mis,
-    "stratified_sample_docs": _q_stratified_sample,
-    "bigram_top20": _q_bigram_top20,
-    "dag_layers_kc": _q_dag_layers,
-    "event_value_quantiles": _q_event_quantiles,
-    "negative_samples_kc": _q_negative_samples,
-    "cooc_jaccard": _q_cooc_jaccard,
-    "interarrival_stats": _q_interarrival,
-    "bowtie_scc": _q_bowtie,
-    "rich_club_kc": _q_rich_club,
-    # --- block 2: last verified round 2 ---
-    "ann_cosine_topk": _q_ann_topk,
-    "ann_cosine_topk_lsh": _q_ann_topk_lsh,
-    "ann_cosine_topk_ivf": _q_ann_topk_ivf,
-    "bfs_incremental_mod": _q_bfs_incremental_mod,
-    "coloring_mod": _q_coloring_mod,
-    "decode_audio_real": _q_decode_audio_real,
-    "decode_image_real": _q_decode_image_real,
-    "edge_csv_batch_convert": _q_edge_csv_batch_convert,
-    "frame_sample": _q_frame_sample,
-    "lang_id": _q_lang_id,
-    "media_features": _q_media_features,
-    "pagerank_mod_converged": _q_pagerank_converged,
-    "quality_score": _q_quality,
-    "sssp_incremental_mod": _q_sssp_incremental_mod,
-    "token_stats": _q_token_stats,
-    "triangle_count_incremental_mod": _q_triangles_incremental_mod,
-    "wcc_incremental_snr": _q_wcc_incremental_snr,
-    "wcc_seq_converged": _q_wcc_seq_converged,
-    # --- block 3: verified green in round 3 ---
-    "seq_edge_projection": _q_seq_edges,
-    "tool_edge_projection": events_tool_edges,
-    # round-4 additions slotted INSIDE the 50-key window so they get a
-    # driver-green row this round; degree_out/degrees (r03-green, trivially
-    # stable) moved to the tail in exchange
-    "conductance_lpa_mod": _q_conductance,
-    "reciprocity_mod": _q_reciprocity,
-    "distinct_vertex_count": _q_distinct_vertex_count,
-    "graph_stats": _q_graph_stats,
-    "vertex_compaction": _q_vertex_compaction,
+    # --- block 1: last driver-verified in round 3 (45 keys) ---
     "triangle_count_mod": _q_triangles,
     "triangles_per_vertex_mod": _q_triangles_per_vertex,
     "clustering_mod": _q_clustering,
@@ -2992,8 +2949,6 @@ QUERIES = {
     "anf3_kc": _q_anf,
     "nf_curve_kc": _q_nf_curve,
     "eff_diameter_kc": _q_eff_diameter,
-    # assortativity_mod (r03-green, stable) moved to the tail in exchange
-    # for coreness_kc entering the 50-key window (same swap rule as above)
     "pagerank3_mod": _q_pagerank3,
     "pagerank_weighted_mod": _q_pagerank_weighted,
     "hits3_mod": _q_hits3,
@@ -3025,6 +2980,58 @@ QUERIES = {
     "embedding_near_dup_lsh": _q_embedding_dup_lsh,
     "token_count": _q_token_count,
     "tfidf_top3": _q_tfidf,
+    # --- block 2: r04-green canaries for round-5 code edits (5 keys) ---
+    "event_value_quantiles": _q_event_quantiles,
+    "negative_samples_kc": _q_negative_samples,
+    "mis_kc": _q_mis,
+    "vertex_compaction": _q_vertex_compaction,
+    "wcc_seq_converged": _q_wcc_seq_converged,
+    # --- tail: verified green in round 4 (r04 rows stay authoritative) ---
+    "kcore14_kc": _q_kcore,
+    "ktruss4_kc": _q_ktruss,
+    "wcc_decremental_snr": _q_wcc_decremental_snr,
+    "bfs_decremental_mod": _q_bfs_decremental_mod,
+    "decode_video_real": _q_decode_video_real,
+    "frame_sample_real": _q_frame_sample_real,
+    "sessionize_events": _q_sessionize,
+    "decode_png_real": _q_decode_png_real,
+    "decode_jpeg_real": _q_decode_jpeg_real,
+    "decode_mp4_real": _q_decode_mp4_real,
+    "coreness_kc": _q_coreness,
+    "katz3_kc": _q_katz,
+    "user_day_cooccurrence": _q_user_day_cooc,
+    "butterfly_count_events": _q_butterflies,
+    "scc_condensation": _q_scc_condensation,
+    "stratified_sample_docs": _q_stratified_sample,
+    "bigram_top20": _q_bigram_top20,
+    "dag_layers_kc": _q_dag_layers,
+    "cooc_jaccard": _q_cooc_jaccard,
+    "interarrival_stats": _q_interarrival,
+    "bowtie_scc": _q_bowtie,
+    "rich_club_kc": _q_rich_club,
+    "ann_cosine_topk": _q_ann_topk,
+    "ann_cosine_topk_lsh": _q_ann_topk_lsh,
+    "ann_cosine_topk_ivf": _q_ann_topk_ivf,
+    "bfs_incremental_mod": _q_bfs_incremental_mod,
+    "coloring_mod": _q_coloring_mod,
+    "decode_audio_real": _q_decode_audio_real,
+    "decode_image_real": _q_decode_image_real,
+    "edge_csv_batch_convert": _q_edge_csv_batch_convert,
+    "frame_sample": _q_frame_sample,
+    "lang_id": _q_lang_id,
+    "media_features": _q_media_features,
+    "pagerank_mod_converged": _q_pagerank_converged,
+    "quality_score": _q_quality,
+    "sssp_incremental_mod": _q_sssp_incremental_mod,
+    "token_stats": _q_token_stats,
+    "triangle_count_incremental_mod": _q_triangles_incremental_mod,
+    "wcc_incremental_snr": _q_wcc_incremental_snr,
+    "seq_edge_projection": _q_seq_edges,
+    "tool_edge_projection": events_tool_edges,
+    "conductance_lpa_mod": _q_conductance,
+    "reciprocity_mod": _q_reciprocity,
+    "distinct_vertex_count": _q_distinct_vertex_count,
+    "graph_stats": _q_graph_stats,
 }
 
 @functools.cache

@@ -338,6 +338,171 @@ def run_bowtie_scale(args) -> None:
     spark.stop()
 
 
+def run_stream_sess_scale(args) -> None:
+    """Streaming-sessionization evidence (VERDICT r4 #6): 10^7 events
+    through stream_sessionize across MANY micro-batches (file source,
+    maxFilesPerTrigger=1), proving (a) throughput at scale and (b) that
+    cross-batch state stays bounded by |users|, not |events| — the
+    stateOperators numRowsTotal readout printed per batch must plateau at
+    the user count while rows processed keeps growing."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minigraph_spark.streaming import stream_sessionize
+
+    n_events = args.vecs  # reuse the count knob
+    n_users = max(1, n_events // 100)
+    n_slices = 20
+    per = n_events // n_slices
+    base = f"/tmp/minigraph_stream_sess_e{n_events}"
+    if not os.path.exists(base):
+        tmp = base + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        # time-ordered slices (append-only log contract): slice k holds the
+        # k-th window of the global event sequence; ~1 event/user/slice with
+        # a deterministic jitter so sessions both continue and break
+        for s in range(n_slices):
+            eid = np.arange(s * per, (s + 1) * per, dtype=np.int64)
+            uid = (eid * np.int64(2654435761)) % np.int64(n_users)
+            # seconds: ~1 event per user per 40 min => mix of same-session
+            # (gap < 30 min) and new-session arrivals
+            ts = eid * np.int64(2400) // np.int64(n_users) + (eid % 997)
+            pq.write_table(
+                pa.table({
+                    "event_id": pa.array(eid),
+                    "user_id": pa.array(uid),
+                    "ts": pa.array(ts * 1_000_000, pa.timestamp("us")),
+                }),
+                f"{tmp}/slice-{s:03d}.parquet",
+            )
+        os.rename(tmp, base)
+    spark = _spark(f"stream_sess_e{n_events}", args.shuffle)
+    schema = "event_id long, user_id long, ts timestamp"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    sess = stream_sessionize(src, gap_seconds=1800)
+    ck = f"/tmp/minigraph_stream_sess_ck_{os.getpid()}"
+    t0 = time.time()
+    q = (
+        sess.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    rows_done = 0
+    for p in q.recentProgress:
+        rows_done += p["numInputRows"]
+        so = p["stateOperators"]
+        if so:
+            print(
+                f"  batch {p['batchId']}: +{p['numInputRows']} rows, "
+                f"state numRowsTotal={so[0]['numRowsTotal']} "
+                f"updated={so[0]['numRowsUpdated']}",
+                flush=True,
+            )
+    print(
+        f"stream_sessionize: {n_events} events / {n_users} users / "
+        f"{n_slices} micro-batches in {wall:.0f}s = "
+        f"{n_events / wall / 1e6:.2f}M rows/s; state bound |users|; {_load()}",
+        flush=True,
+    )
+    shutil.rmtree(ck, ignore_errors=True)
+    spark.stop()
+
+
+def run_ann_scale(args) -> None:
+    """ANN evidence row (VERDICT r4 #5): a >=10^7-vector clustered corpus,
+    exact ground truth from the vectorized matmul scorer, then recall@k +
+    wall for the two bucketed scale paths at two settings each — LSH
+    (num_tables sweep) and IVF (nprobe sweep, centroids trained on a 1%
+    sample). Recall = |approx ∩ exact| / |exact| over the same queries."""
+    from minigraph_spark.fixtures import ensure_embeddings_parquet
+    from minigraph_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        cosine_topk_matmul,
+    )
+
+    spark = _spark(f"ann_v{args.vecs}", args.shuffle, zstd=True)
+    path = ensure_embeddings_parquet(args.vecs, dim=args.dim)
+    corpus = spark.read.parquet(path).persist()
+    n = corpus.count()
+    queries = corpus.filter(F.col("vec_id") < args.nqueries)
+    k = args.k
+    print(f"vectors {n} dim {args.dim}; {args.nqueries} queries; k {k}; "
+          f"{_load()}", flush=True)
+
+    t0 = time.time()
+    gt = cosine_topk_matmul(corpus, queries, k=k).persist()
+    n_gt = gt.count()
+    t_exact = time.time() - t0
+    print(f"exact matmul ground truth: {t_exact:.0f}s ({n_gt} rows); {_load()}",
+          flush=True)
+
+    def recall(approx_df, label, wall):
+        hits = approx_df.select("query_id", "neighbor_id").join(
+            gt.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count()
+        print(f"{label}: {wall:.0f}s, recall@{k} = {hits}/{n_gt} = "
+              f"{hits / n_gt:.3f}; {_load()}", flush=True)
+
+    for tables in (4, 16):
+        t0 = time.time()
+        ap = cosine_topk_lsh(
+            corpus, queries, k=k, num_planes=10, dim=args.dim,
+            num_tables=tables,
+        ).persist()
+        ap.count()
+        recall(ap, f"lsh planes=10 tables={tables}", time.time() - t0)
+        ap.unpersist()
+    for nprobe in (4, 16):
+        t0 = time.time()
+        ap = cosine_topk_ivf(
+            corpus, queries, k=k, num_centroids=64, iters=2, nprobe=nprobe,
+            train_fraction=0.01,
+        ).persist()
+        ap.count()
+        recall(ap, f"ivf cents=64 nprobe={nprobe} (1% train)", time.time() - t0)
+        ap.unpersist()
+    spark.stop()
+
+
+def run_richclub_scale(args) -> None:
+    """Rich-club curve row: the histogram-first phi(k) sweep — one closure
+    dedup + one degree agg + one min-endpoint-degree histogram, then a
+    max_degree-row cumulative pass; wall should track E, never E*k."""
+    from minigraph_spark.plans.stats import rich_club
+
+    spark = _spark(f"richclub_p{args.power}", args.shuffle, zstd=True)
+    rmat = spark.read.parquet(args.path)
+    n = rmat.count()
+    print(f"edges {n}; {_load()}", flush=True)
+    t0 = time.time()
+    curve = rich_club(rmat)
+    rows = curve.count()
+    wall = time.time() - t0
+    top = curve.orderBy(F.col("k").desc()).limit(3).collect()
+    print(
+        f"rich_club: {wall:.0f}s; {rows} k-rows; tail "
+        + " ".join(
+            f"k={r['k']}:n={r['n_nodes']},phi={r['phi']}" for r in reversed(top)
+        )
+        + f"; {_load()}",
+        flush=True,
+    )
+    spark.stop()
+
+
 def run_anf_scale(args) -> None:
     from minigraph_spark.plans.anf import anf_estimates, run_anf
 
@@ -659,7 +824,7 @@ def main() -> None:
                     choices=["pr", "pr_fixed", "pr_resume", "wcc", "lpa", "tri",
                              "kcore", "coreness", "scc", "bowtie", "anf",
                              "wedges",
-                             "wcc_dec", "bfs_dec", "hits", "ktruss",
+                             "wcc_dec", "bfs_dec", "hits", "ktruss", "richclub", "ann", "stream_sess",
                              "linkpred", "butterfly", "mis", "dag"])
     ap.add_argument("--phase", choices=["interrupt", "resume", "control"],
                     default=None, help="pr_resume internal: run ONE phase in "
@@ -693,6 +858,11 @@ def main() -> None:
                     help="linkpred: max_center_degree (-1 = library default, "
                          "0 = uncapped exact pass — quadratic in hub degree, "
                          "small fixtures only)")
+    ap.add_argument("--vecs", type=int, default=10_000_000,
+                    help="ann: corpus size")
+    ap.add_argument("--dim", type=int, default=64, help="ann: vector dim")
+    ap.add_argument("--nqueries", type=int, default=50,
+                    help="ann: query count (vec_id < nqueries)")
     ap.add_argument("--graph", choices=["rmat", "chains"], default="rmat",
                     help="input shape: seeded R-MAT (one giant component — "
                          "the worst case for component-local IncEval) or "
@@ -713,8 +883,8 @@ def main() -> None:
     args = ap.parse_args()
 
     t0 = time.time()
-    if args.algo == "butterfly":
-        args.path = None  # bipartite synthesized in-plan; no edge fixture
+    if args.algo in ("butterfly", "ann", "stream_sess"):
+        args.path = None  # no edge fixture (bipartite/embeddings built in-run)
     elif args.graph == "chains":
         from minigraph_spark.fixtures import ensure_chain_parquet
 
@@ -736,6 +906,9 @@ def main() -> None:
         "scc": run_scc_scale,
         "bowtie": run_bowtie_scale,
         "anf": run_anf_scale,
+        "richclub": run_richclub_scale,
+        "ann": run_ann_scale,
+        "stream_sess": run_stream_sess_scale,
         "wedges": run_wedges,
         "wcc_dec": run_wcc_dec,
         "bfs_dec": run_bfs_dec,
