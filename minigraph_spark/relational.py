@@ -2227,6 +2227,17 @@ def _q_ann_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _q_ann_topk_mm(spark, sf_dir):
+    """The vectorized exact scorer (operators/similarity.cosine_topk_matmul)
+    against the SAME brute-force SQL oracle as ann_cosine_topk — proves the
+    BLAS partial-topk/merge path is the identical operator, not an
+    approximation."""
+    from .operators.similarity import cosine_topk_matmul
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_matmul(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def _q_ann_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(
@@ -2980,13 +2991,16 @@ QUERIES = {
     "embedding_near_dup_lsh": _q_embedding_dup_lsh,
     "token_count": _q_token_count,
     "tfidf_top3": _q_tfidf,
-    # --- block 2: r04-green canaries for round-5 code edits (5 keys) ---
+    # --- block 2: r04-green canaries for round-5 code edits (4 keys) ---
     "event_value_quantiles": _q_event_quantiles,
     "negative_samples_kc": _q_negative_samples,
     "mis_kc": _q_mis,
     "vertex_compaction": _q_vertex_compaction,
-    "wcc_seq_converged": _q_wcc_seq_converged,
+    # new in round 5 (never driver-verified) — takes the 50th slot;
+    # wcc_seq_converged moves to the tail with its r04-green row intact
+    "ann_cosine_topk_mm": _q_ann_topk_mm,
     # --- tail: verified green in round 4 (r04 rows stay authoritative) ---
+    "wcc_seq_converged": _q_wcc_seq_converged,
     "kcore14_kc": _q_kcore,
     "ktruss4_kc": _q_ktruss,
     "wcc_decremental_snr": _q_wcc_decremental_snr,
@@ -3339,6 +3353,7 @@ _ORACLE_SQL_STATIC = {
       FROM agg
     """,
     "ann_cosine_topk": _ANN_TOPK_SQL,
+    "ann_cosine_topk_mm": _ANN_TOPK_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "wcc_seq_converged": _WCC_SEQ_SQL,
     # IncEval == PEval on the full graph for monotone kernels — batch oracles

@@ -424,13 +424,18 @@ def run_ann_scale(args) -> None:
     """ANN evidence row (VERDICT r4 #5): a >=10^7-vector clustered corpus,
     exact ground truth from the vectorized matmul scorer, then recall@k +
     wall for the two bucketed scale paths at two settings each — LSH
-    (num_tables sweep) and IVF (nprobe sweep, centroids trained on a 1%
-    sample). Recall = |approx ∩ exact| / |exact| over the same queries."""
+    (vectorized bucketing, num_tables sweep) and the partitioned IVF index
+    (ivf_build once: 1% driver-Lloyd train + BLAS assign + partitionBy(cid)
+    write; then ivf_search nprobe sweep over partition-pruned scans).
+    Recall = |approx ∩ exact| / |exact| over the same queries."""
+    import shutil
+
     from minigraph_spark.fixtures import ensure_embeddings_parquet
     from minigraph_spark.operators.similarity import (
-        cosine_topk_ivf,
         cosine_topk_lsh,
         cosine_topk_matmul,
+        ivf_build,
+        ivf_search,
     )
 
     spark = _spark(f"ann_v{args.vecs}", args.shuffle, zstd=True)
@@ -460,20 +465,32 @@ def run_ann_scale(args) -> None:
         t0 = time.time()
         ap = cosine_topk_lsh(
             corpus, queries, k=k, num_planes=10, dim=args.dim,
-            num_tables=tables,
+            num_tables=tables, vectorized=True,
         ).persist()
         ap.count()
         recall(ap, f"lsh planes=10 tables={tables}", time.time() - t0)
         ap.unpersist()
+
+    idx = f"/tmp/minigraph_ivf_v{args.vecs}_d{args.dim}.parquet"
+    cells = 1024 if args.vecs >= 1_000_000 else 64
+    t0 = time.time()
+    cm = ivf_build(corpus, idx, num_centroids=cells, train_fraction=0.01,
+                   iters=5)
+    t_build = time.time() - t0
+    print(f"ivf_build cells={cells} (1% train, 5 Lloyd iters): {t_build:.0f}s; "
+          f"{_load()}", flush=True)
     for nprobe in (4, 16):
         t0 = time.time()
-        ap = cosine_topk_ivf(
-            corpus, queries, k=k, num_centroids=64, iters=2, nprobe=nprobe,
-            train_fraction=0.01,
-        ).persist()
+        ap = ivf_search(spark, idx, cm, queries, k=k, nprobe=nprobe).persist()
         ap.count()
-        recall(ap, f"ivf cents=64 nprobe={nprobe} (1% train)", time.time() - t0)
+        recall(
+            ap,
+            f"ivf_search cells={cells} nprobe={nprobe} "
+            f"(scans ~{nprobe / cells:.1%} of corpus)",
+            time.time() - t0,
+        )
         ap.unpersist()
+    shutil.rmtree(idx, ignore_errors=True)
     spark.stop()
 
 

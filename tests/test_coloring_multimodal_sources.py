@@ -687,3 +687,83 @@ def test_interarrival_stats_tiny(spark):
     assert got[2]["n_events"] == 1 and got[2]["n_gaps"] == 0
     assert got[2]["min_gap_s"] is None and got[2]["avg_gap_s"] is None
     assert got[3]["n_gaps"] == 1 and got[3]["min_gap_s"] == 0
+
+
+def _clustered_emb(spark, seed=13, n_clusters=4, per=50, dim=16):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 10
+    vecs = np.concatenate(
+        [centers[i] + rng.standard_normal((per, dim)) for i in range(n_clusters)]
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_clusters * per),
+            "embedding": [v.astype(np.float32) for v in vecs],
+        }
+    )
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matmul_equals_hof_exact(spark):
+    """The vectorized exact scorer is the same operator as cosine_topk —
+    identical frames (values round to 6dp; ranks deterministic)."""
+    from minigraph_spark.operators.similarity import cosine_topk_matmul
+
+    emb = _clustered_emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    cols = ["query_id", "neighbor_id", "sim", "rank"]
+    a = cosine_topk(emb, q, k=5).toPandas()[cols].sort_values(cols)
+    b = cosine_topk_matmul(emb, q, k=5).toPandas()[cols].sort_values(cols)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_hyperplane_buckets_vectorized_matches_literal(spark):
+    """BLAS bucketing computes the same (vec_id, table, bucket) rows as the
+    literal-expression face (same planes; only float summation order
+    differs, and no dot in this fixture sits at the sign boundary)."""
+    from minigraph_spark.operators.similarity import hyperplane_buckets
+
+    emb = _clustered_emb(spark, seed=17)
+    cols = ["vec_id", "table", "bucket"]
+    lit = hyperplane_buckets(
+        emb, num_planes=6, dim=16, num_tables=3
+    ).toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    vec = hyperplane_buckets(
+        emb, num_planes=6, dim=16, num_tables=3, vectorized=True
+    ).toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert (lit["vec_id"].to_numpy() == vec["vec_id"].to_numpy()).all()
+    assert (lit["table"].to_numpy() == vec["table"].to_numpy()).all()
+    assert (lit["bucket"].to_numpy() == vec["bucket"].to_numpy()).all()
+
+
+def test_ivf_build_search_index(spark, tmp_path):
+    """Partitioned-IVF pair: nprobe == cells degrades to exact (same pair
+    set), 1 probe on clustered data keeps recall, and the index layout is
+    one parquet partition dir per cell."""
+    import os
+
+    from minigraph_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = _clustered_emb(spark, seed=23)
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf_idx")
+    cm = ivf_build(emb, idx, num_centroids=4, train_fraction=None, iters=3)
+    assert cm.shape == (4, 16)
+    assert sorted(d for d in os.listdir(idx) if d.startswith("cid=")) == [
+        f"cid={i}" for i in range(4)
+    ]
+
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    ek = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    full = ivf_search(spark, idx, cm, q, k=5, nprobe=4).toPandas()
+    fk = {(r.query_id, r.neighbor_id) for r in full.itertuples()}
+    assert fk == ek
+    one = ivf_search(spark, idx, cm, q, k=5, nprobe=1).toPandas()
+    ak = {(r.query_id, r.neighbor_id) for r in one.itertuples()}
+    assert len(ek & ak) / len(ek) >= 0.8
