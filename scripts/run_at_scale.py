@@ -356,6 +356,7 @@ def run_stream_sess_scale(args) -> None:
     n_events = args.vecs  # reuse the count knob
     n_users = max(1, n_events // 100)
     n_slices = 20
+    fpt = args.files_per_trigger
     per = n_events // n_slices
     base = f"/tmp/minigraph_stream_sess_e{n_events}"
     if not os.path.exists(base):
@@ -384,7 +385,7 @@ def run_stream_sess_scale(args) -> None:
     schema = "event_id long, user_id long, ts timestamp"
     src = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", fpt)
         .parquet(base)
     )
     sess = stream_sessionize(src, gap_seconds=1800)
@@ -412,7 +413,7 @@ def run_stream_sess_scale(args) -> None:
             )
     print(
         f"stream_sessionize: {n_events} events / {n_users} users / "
-        f"{n_slices} micro-batches in {wall:.0f}s = "
+        f"{-(-n_slices // fpt)} micro-batches ({fpt} files/trigger) in {wall:.0f}s = "
         f"{n_events / wall / 1e6:.2f}M rows/s; state bound |users|; {_load()}",
         flush=True,
     )
@@ -880,6 +881,9 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=64, help="ann: vector dim")
     ap.add_argument("--nqueries", type=int, default=50,
                     help="ann: query count (vec_id < nqueries)")
+    ap.add_argument("--files-per-trigger", type=int, default=1,
+                    help="stream_sess: slice files per micro-batch — the "
+                         "per-(group,batch) overhead amortization knob")
     ap.add_argument("--graph", choices=["rmat", "chains"], default="rmat",
                     help="input shape: seeded R-MAT (one giant component — "
                          "the worst case for component-local IncEval) or "
