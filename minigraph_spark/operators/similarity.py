@@ -18,6 +18,17 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+    """Row-normalize, guarding all-zero rows (norm clamped to 1e-12): a
+    zero vector scores sim 0.0 against everything and never enters a
+    top-k, instead of propagating 0/0 = NaN — which Spark's descending
+    sort would rank FIRST (NaN compares greatest). The HOF face
+    (cosine_sim) keeps the raw IEEE semantics for oracle parity; at
+    100-TB corpus scale broken/empty embedding rows are a when, not an
+    if, so the vectorized serving paths take the defensive branch."""
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
 def cosine_sim(a, b):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -91,7 +102,7 @@ def cosine_topk_matmul(
         return embeddings.sparkSession.createDataFrame([], schema)
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = _unit_rows(qm)
     kk = int(k)
 
     def score(batches):
@@ -102,7 +113,7 @@ def cosine_topk_matmul(
                 continue
             ids = pdf["neighbor_id"].to_numpy(np.int64)
             v = np.array(list(pdf["cv"]), dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v = _unit_rows(v)
             sims = v @ qn.T  # (n_batch, q)
             n, q = sims.shape
             take = min(kk + 1, n)  # +1 absorbs a possible self-match
@@ -588,7 +599,7 @@ def ivf_search(
     ).collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = _unit_rows(qm)
     d2 = (centroids * centroids).sum(1)[None, :] - 2.0 * (qm @ centroids.T)
     probe = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
     num_c = centroids.shape[0]
@@ -608,7 +619,7 @@ def ivf_search(
             ids = pdf["vec_id"].to_numpy(np.int64)
             cid = pdf["cid"].to_numpy(np.int64)
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v = _unit_rows(v)
             sims = v @ qn.T
             sims[~allowed[cid]] = -np.inf  # mask un-probed (row, query) pairs
             n, q = sims.shape

@@ -719,6 +719,30 @@ def test_cosine_topk_matmul_equals_hof_exact(spark):
     )
 
 
+def test_cosine_topk_matmul_zero_vector_guard(spark):
+    """An all-zero corpus row must never enter a top-k (sim 0, not
+    0/0 = NaN — Spark's descending sort ranks NaN FIRST), and a zero-vector
+    query must return finite sims; see similarity._unit_rows."""
+    from minigraph_spark.operators.similarity import cosine_topk_matmul
+
+    emb = _clustered_emb(spark)
+    zero = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [10_000], "embedding": [np.zeros(16, dtype=np.float32)]}
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+    corpus = emb.unionByName(zero)
+    out = cosine_topk_matmul(corpus, corpus.filter(F.col("vec_id") < 4), k=5)
+    pdf = out.toPandas()
+    assert np.isfinite(pdf["sim"]).all()
+    assert 10_000 not in set(pdf["neighbor_id"])
+    # zero-vector QUERY: finite sims (all 0.0 against unit rows)
+    qz = cosine_topk_matmul(corpus, zero, k=3).toPandas()
+    assert len(qz) == 3 and np.isfinite(qz["sim"]).all()
+    assert (qz["sim"].abs() < 1e-9).all()
+
+
 def test_hyperplane_buckets_vectorized_matches_literal(spark):
     """BLAS bucketing computes the same (vec_id, table, bucket) rows as the
     literal-expression face (same planes; only float summation order
