@@ -168,6 +168,16 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
         part = order[slot == k]
         pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
                        f"{path}/part-{k}.parquet")
+    # FileStreamSource orders micro-batches by file modification time with
+    # an arbitrary tie-break: stagger mtimes explicitly (same guard as
+    # bench.py's streaming section) — back-to-back writes can land in the
+    # same mtime tick, and an out-of-order slice silently violates the
+    # operator's per-user non-decreasing-ts contract across batches
+    import time as _time
+
+    base_mtime = _time.time() - 1000
+    for k in range(3):
+        os.utime(f"{path}/part-{k}.parquet", (base_mtime + k, base_mtime + k))
 
     schema = "event_id long, user_id long, ts timestamp"
     stream = (
