@@ -154,14 +154,46 @@ def grid_pid_2d(src: Column, dst: Column, k1: int, k2: int) -> Column:
 
 
 def prepartition_edges(
-    edges: DataFrame, num_partitions: int, by: str = "src", persist: bool = True
+    edges: DataFrame,
+    num_partitions: int,
+    by: str = "src",
+    persist: bool = True,
+    dedup: bool = False,
 ) -> DataFrame:
     """Hash-repartition the edge table by ``by`` once and persist — the
     DataFrame analog of the reference's one-time graph_partition_exec step
     (tools/graph_partition.cpp:98-134). Amortizes the edge-side shuffle
     across all supersteps: the scatter join then reuses this partitioning.
-    On a real cluster this is a bucketed table write instead."""
-    out = edges.repartition(num_partitions, by).sortWithinPartitions(by)
+    On a real cluster this is a bucketed table write instead.
+
+    dedup=True folds an exact (src, dst) deduplication into the SAME
+    exchange (guide §2.4 — two operations keyed compatibly share one
+    shuffle): the table is hash-partitioned by ``by`` and sorted by
+    (``by``, other) — equal edges land adjacent — and a zero-exchange
+    lag-window filter keeps the first of each run. vs `.distinct()` +
+    repartition this removes one full E-scale Exchange and stage barrier
+    (the distinct's (src,dst)-hash shuffle), at the cost of sorting by one
+    extra column the engine's scatter join doesn't need. (src, dst)-only
+    tables, for consumers that dedup anyway (undirected closures, simple
+    digraphs); the output rows are exactly ``edges.distinct()``."""
+    if dedup:
+        if set(edges.columns) != {"src", "dst"}:
+            raise ValueError(
+                f"dedup=True requires a (src, dst) table, got {edges.columns}"
+            )
+        from pyspark.sql import Window
+
+        other = "dst" if by == "src" else "src"
+        w = Window.partitionBy(by).orderBy(other)
+        out = (
+            edges.repartition(num_partitions, by)
+            .sortWithinPartitions(by, other)
+            .withColumn("_prev", F.lag(other).over(w))
+            .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(other)))
+            .select("src", "dst")
+        )
+    else:
+        out = edges.repartition(num_partitions, by).sortWithinPartitions(by)
     if persist:
         # eager localCheckpoint rather than persist: it caches the blocks
         # AND replaces the logical subtree with a compact LogicalRDD leaf

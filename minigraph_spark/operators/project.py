@@ -90,9 +90,18 @@ def project_edges(transcripts: DataFrame, with_tool_edges: bool = True,
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected closure: union of both directions, deduped, self-loops
     dropped (self-loop filter parity: edge_cut_partitioner.h:103)."""
+    return symmetrize_raw(edges).distinct()
+
+
+def symmetrize_raw(edges: DataFrame) -> DataFrame:
+    """Both directions with self-loops dropped but WITHOUT the dedup
+    shuffle — the input to prepartition_edges(dedup=True), which folds the
+    dedup into the partitioning exchange it performs anyway (one E-scale
+    Exchange instead of two; guide §2.4). Use symmetrize() whenever the
+    consumer needs a deduplicated DataFrame directly."""
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionAll(rev).filter(F.col("src") != F.col("dst")).distinct()
+    return fwd.unionAll(rev).filter(F.col("src") != F.col("dst"))
 
 
 def roundtrip_check(transcripts: DataFrame) -> bool:

@@ -169,15 +169,25 @@ class SuperstepEngine:
         checkpoint_every: int = 5,
         lineage_cut_every: int = 1,
         state_storage: str = "deser",
+        dedup_edges: bool = False,
+        symmetric: bool = False,
     ):
+        """dedup_edges=True folds an exact (src, dst) dedup into the
+        one-time partitioning exchange (prepartition_edges dedup contract) —
+        pass a NON-deduplicated closure (operators/project.symmetrize_raw)
+        and skip the separate distinct shuffle. symmetric=True declares that
+        the edge table contains both directions of every edge (an undirected
+        closure), letting vertices() read the vertex set from src alone —
+        half the distinct's input and no union."""
         spark = edges.sparkSession
         n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
         n = num_partitions or n_max
         self.spark = spark
+        self.symmetric = symmetric
         _ids0 = self._persistent_ids()
         # keep any extra columns the caller selected (e.g. SSSP weights) —
         # scatter functions see self.edges as-is; only (src, dst) is required
-        self.edges = prepartition_edges(edges, n, by="src")
+        self.edges = prepartition_edges(edges, n, by="src", dedup=dedup_edges)
         self._edge_rdd_ids = self._persistent_ids() - _ids0
         if num_partitions is None:
             # count from the just-materialized cache (cheap scan), then
@@ -250,7 +260,11 @@ class SuperstepEngine:
 
     def vertices(self) -> DataFrame:
         """Distinct vertex ids of the edge table (A8 analog:
-        tools/get_statistics.cpp:71-90 bitmap popcount)."""
+        tools/get_statistics.cpp:71-90 bitmap popcount). On a symmetric
+        engine every vertex appears as a src, so the src column alone is
+        the vertex set — half the distinct input, no union."""
+        if self.symmetric:
+            return self.edges.select(F.col("src").alias("vid")).distinct()
         return (
             self.edges.select(F.col("src").alias("vid"))
             .unionAll(self.edges.select(F.col("dst").alias("vid")))

@@ -51,10 +51,16 @@ def _vid_registers(vid_col: Column) -> Column:
     rho = (
         F.when(w == 0, F.lit(RHO_CAP))
         .otherwise(F.length(F.conv(lowbit.cast("string"), 10, 2)))
-        .cast("int")
+        .cast("tinyint")
     )
+    # registers are tinyint (rho <= 57 < 127): the per-round message is an
+    # array of 16 of them, and the narrower element type shrinks every
+    # scatter/combine row from ~88 to ~40 bytes (UnsafeArrayData padding
+    # included) — guide §2.3 "narrower types", halving the E-row combine
+    # shuffle. Register VALUES are unchanged, so the register-exact DuckDB
+    # oracles and est_expr (which casts to double) are unaffected.
     return F.array(
-        *[F.when(j == i, rho).otherwise(F.lit(0)).cast("int") for i in range(M)]
+        *[F.when(j == i, rho).otherwise(F.lit(0)).cast("tinyint") for i in range(M)]
     )
 
 

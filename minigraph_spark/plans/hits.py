@@ -11,17 +11,27 @@ Kleinberg's synchronous power iteration with L1 normalization:
 order; L1 rather than L2 so the oracle needs no sqrt and mass stays
 interpretable as a distribution.)
 
-Scale shape: inherently TWO shuffles per iteration (one per phase — each
-phase is a scatter join + a sum combine, exactly the superstep engine's
-per-iteration cost, doubled). The edge table is hash-partitioned once by
-src and persists serialized (edge_cache="single", the measured default —
-see run_hits), making the auth phase's scatter join exchange-free on the
-E-row side; edge_cache="dual" additionally pins a dst-partitioned copy so
-the hub phase is exchange-free too, at 2× the resident edge bytes. Normalization totals are
-1-row broadcasts inside the plan (the dangling-mass device from
-plans/pagerank.py) — no driver collect in the loop. Lineage is truncated
-per iteration with an eager localCheckpoint + previous-round block free
-(see plans/ktruss.py for why plain persist degenerates).
+Scale shape (r06 rewrite — the old loop built one 150-node plan per sweep
+whose auth/vertex subtrees Catalyst re-executed up to 4x with zero exchange
+reuse, under AQE and per-sweep V-row broadcasts; see
+plans/r06/hits_rmat_before.txt): inherently TWO shuffles per iteration (one
+per phase — each phase is a co-partitioned scatter join + a sum combine).
+The loop now runs under iterative_confs (AQE off, no auto-broadcast — the
+same static-plan rationale as the superstep engine) and carries SLIM state:
+`h` = (src, hub) over the src-set only and `a` = (dst, auth) over the
+dst-set only, each eagerly localCheckpoint-ed per phase so every subtree
+executes exactly once. Exactness: a vertex outside the src-set has hub
+identically 0 from sweep 1 on (its h_raw sum is empty) and contributes
+exactly 0.0 to every auth sum, so dropping its row changes no float result;
+symmetrically for auth outside the dst-set — both zero-sets are restored as
+literal 0.0 rows in the one-time final assembly against the full vertex
+set. Each edge's dst is by definition in the dst-set and each src in the
+src-set, so both phase joins match exactly the same edge rows as the
+full-state formulation. The edge table is deduped INSIDE its one-time
+partitioning exchange (prepartition_edges dedup=True) instead of by a
+separate distinct shuffle. Normalization totals are 1-row broadcasts inside
+the plan (the dangling-mass device from plans/pagerank.py) — no driver
+collect in the loop.
 """
 
 from __future__ import annotations
@@ -34,6 +44,10 @@ from pyspark.sql import functions as F
 from ..operators.partition import prepartition_edges
 from ..operators.superstep import free_rdd_ids, persistent_rdd_ids
 from ..session import iterative_confs
+
+# debug aid: MG_EXPLAIN=<k> prints the physical plans of sweep k (0-based),
+# the same hook the superstep engine exposes (operators/superstep.py)
+_EXPLAIN = int(__import__("os").environ.get("MG_EXPLAIN", "-1") or -1)
 
 
 @dataclass
@@ -80,15 +94,38 @@ def run_hits(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    e = edges.select("src", "dst").distinct()
-    _pre = persistent_rdd_ids(spark)
     with iterative_confs(spark):
-        fwd = prepartition_edges(e, n_part, by="src")
-        bwd = (
-            prepartition_edges(e, n_part, by="dst")
-            if edge_cache == "dual"
-            else fwd
-        )
+        # scope the shuffle width to the edge partition count so the
+        # per-sweep combine exchanges line up with the prepartitioned edge
+        # cache (the same scoping SuperstepEngine.run applies)
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        try:
+            return _run_hits_loop(
+                spark, edges, iters, tol, max_iter, n_part, edge_cache
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def _run_hits_loop(
+    spark,
+    edges: DataFrame,
+    iters: int | None,
+    tol: float | None,
+    max_iter: int,
+    n_part: int,
+    edge_cache: str,
+) -> HitsResult:
+    _pre = persistent_rdd_ids(spark)
+    fwd = prepartition_edges(
+        edges.select("src", "dst"), n_part, by="src", dedup=True
+    )
+    bwd = (
+        prepartition_edges(fwd, n_part, by="dst")
+        if edge_cache == "dual"
+        else fwd
+    )
     edge_ids = persistent_rdd_ids(spark) - _pre
     verts = (
         fwd.select(F.col("src").alias("vid"))
@@ -96,75 +133,126 @@ def run_hits(
         .distinct()
     )
 
-    before = persistent_rdd_ids(spark)
-    st = verts.select(
-        "vid", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
-    ).localCheckpoint(eager=True)
-    st_ids = persistent_rdd_ids(spark) - before
-    if fwd.limit(1).count() == 0:  # edgeless: nothing to normalize against
-        free_rdd_ids(spark, edge_ids)
-        return HitsResult(st, 0, True)
+    def assemble(a_cur: DataFrame | None, h_cur: DataFrame | None) -> DataFrame:
+        """One-time full-vertex state: restore the identically-0.0 rows the
+        slim loop frames omit (None = pre-loop all-ones init)."""
+        if a_cur is None or h_cur is None:
+            st = verts.select(
+                "vid", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
+            )
+        else:
+            st = (
+                verts.join(a_cur.withColumnRenamed("dst", "vid"), "vid", "left")
+                .join(h_cur.withColumnRenamed("src", "vid"), "vid", "left")
+                .select(
+                    "vid",
+                    F.coalesce("auth", F.lit(0.0)).alias("auth"),
+                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                )
+            )
+        return st.localCheckpoint(eager=True)
 
     limit = iters if iters is not None else max_iter
+    if limit <= 0 or fwd.limit(1).count() == 0:
+        st = assemble(None, None)
+        free_rdd_ids(spark, edge_ids)
+        return HitsResult(st, 0, iters is not None or limit > 0)
+
+    # slim init: hub = 1.0 over the src-set (exchange-free distinct — fwd is
+    # already hash-partitioned by src)
+    before = persistent_rdd_ids(spark)
+    h = (
+        fwd.select("src").distinct().select("src", F.lit(1.0).alias("hub"))
+    ).localCheckpoint(eager=True)
+    h_ids = persistent_rdd_ids(spark) - before
+    a_prev: DataFrame | None = None
+    a_prev_ids: set = set()
+    n_verts: int | None = None
+
     it, converged = 0, False
     for it in range(1, limit + 1):
-        a_raw = (
-            fwd.join(st.select(F.col("vid").alias("src"), "hub"), "src")
-            .groupBy("dst")
-            .agg(F.sum("hub").alias("a_raw"))
+        # auth phase: co-partitioned scatter join (exchange-free on the
+        # E side AND the h side) + one sum-combine exchange on dst
+        a_raw = fwd.join(h, "src").groupBy("dst").agg(F.sum("hub").alias("_raw"))
+        a_tot = a_raw.agg(F.sum("_raw").alias("_t"))
+        a_cur = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "dst", (F.col("_raw") / F.col("_t")).alias("auth")
         )
-        a_tot = a_raw.agg(F.sum("a_raw").alias("_ta"))
-        auth = (
-            verts.join(a_raw.withColumnRenamed("dst", "vid"), "vid", "left")
-            .crossJoin(F.broadcast(a_tot))
-            .select(
-                "vid",
-                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("_ta")).alias(
-                    "auth"
-                ),
-            )
-        )
-        h_raw = (
-            bwd.join(auth.select(F.col("vid").alias("dst"), "auth"), "dst")
-            .groupBy("src")
-            .agg(F.sum("auth").alias("h_raw"))
-        )
-        h_tot = h_raw.agg(F.sum("h_raw").alias("_th"))
+        if it - 1 == _EXPLAIN:
+            a_cur.explain("formatted")
         before = persistent_rdd_ids(spark)
-        nxt = (
-            auth.join(h_raw.withColumnRenamed("src", "vid"), "vid", "left")
-            .crossJoin(F.broadcast(h_tot))
-            .select(
-                "vid",
-                "auth",
-                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("_th")).alias(
-                    "hub"
-                ),
-            )
-        ).localCheckpoint(eager=True)
-        nxt_ids = persistent_rdd_ids(spark) - before
+        a_cur = a_cur.localCheckpoint(eager=True)
+        a_ids = persistent_rdd_ids(spark) - before
+
+        # hub phase: edge side exchange-free only under edge_cache="dual";
+        # a_cur is dst-hash partitioned by the combine above, so the small
+        # side never re-shuffles
+        h_raw = bwd.join(a_cur, "dst").groupBy("src").agg(
+            F.sum("auth").alias("_raw")
+        )
+        h_tot = h_raw.agg(F.sum("_raw").alias("_t"))
+        h_cur = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "src", (F.col("_raw") / F.col("_t")).alias("hub")
+        )
+        if it - 1 == _EXPLAIN:
+            h_cur.explain("formatted")
+        before = persistent_rdd_ids(spark)
+        h_cur = h_cur.localCheckpoint(eager=True)
+        h_cur_ids = persistent_rdd_ids(spark) - before
+
         if tol is not None:
-            delta = (
-                st.withColumnsRenamed({"auth": "_pa", "hub": "_ph"})
-                .join(nxt, "vid")
-                .agg(
-                    F.max(
-                        F.greatest(
-                            F.abs(F.col("auth") - F.col("_pa")),
-                            F.abs(F.col("hub") - F.col("_ph")),
-                        )
-                    ).alias("d")
+            # max(|Δauth|, |Δhub|) over ALL vertices. The slim frames' key
+            # sets are constant across sweeps (every edge endpoint is in
+            # its set from sweep 1 on), so a plain key join is exact for
+            # it >= 2; sweep 1 compares against the all-ones init, where a
+            # vertex missing from a slim frame moved 1.0 -> 0.0.
+            if it == 1:
+                if n_verts is None:
+                    n_verts = verts.count()
+                da = a_cur.agg(
+                    F.max(F.abs(F.col("auth") - F.lit(1.0))).alias("d"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                dh = h_cur.agg(
+                    F.max(F.abs(F.col("hub") - F.lit(1.0))).alias("d"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                delta = max(
+                    da["d"] or 0.0,
+                    dh["d"] or 0.0,
+                    1.0 if (da["n"] < n_verts or dh["n"] < n_verts) else 0.0,
                 )
-                .collect()[0]["d"]
-            )
-            if delta is not None and delta <= tol:
+            else:
+                da = (
+                    a_prev.withColumnRenamed("auth", "_pa")
+                    .join(a_cur, "dst")
+                    .agg(F.max(F.abs(F.col("auth") - F.col("_pa"))).alias("d"))
+                    .collect()[0]["d"]
+                )
+                dh = (
+                    h.withColumnRenamed("hub", "_ph")
+                    .join(h_cur, "src")
+                    .agg(F.max(F.abs(F.col("hub") - F.col("_ph"))).alias("d"))
+                    .collect()[0]["d"]
+                )
+                delta = max(da or 0.0, dh or 0.0)
+            if delta <= tol:
                 converged = True
-        free_rdd_ids(spark, st_ids)
-        st, st_ids = nxt, nxt_ids
+
+        # free the previous sweep's slim frames only after the new ones are
+        # materialized and the delta read them (the superstep engine's
+        # snapshot/diff idiom)
+        free_rdd_ids(spark, h_ids)
+        free_rdd_ids(spark, a_prev_ids)
+        h, h_ids = h_cur, h_cur_ids
+        a_prev, a_prev_ids = a_cur, a_ids
         if converged:
             break
-    # the final state is its own eager checkpoint; the two prepartitioned
-    # edge caches are now dead weight — free them so back-to-back run_hits
-    # calls don't accumulate 2×E-row block sets per call (ADVICE r3)
+
+    st = assemble(a_prev, h)
+    free_rdd_ids(spark, a_prev_ids)
+    free_rdd_ids(spark, h_ids)
+    # the prepartitioned edge caches are now dead weight — free them so
+    # back-to-back run_hits calls don't accumulate E-row block sets (ADVICE r3)
     free_rdd_ids(spark, edge_ids)
     return HitsResult(st, it, converged or iters is not None)

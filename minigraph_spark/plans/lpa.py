@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.project import symmetrize
+from ..operators.project import symmetrize_raw
 from ..operators.superstep import SuperstepEngine, SuperstepResult
 
 
@@ -38,8 +38,16 @@ def run_lpa(
     one-time prepartition/heavy-hitter cost across algorithms on the same
     graph; same contract as run_pagerank/run_wcc.
     """
+    # dedup folded into the engine's partitioning exchange + src-only
+    # vertex set — same device as run_wcc (the combiner is mode, so the
+    # closure MUST be exactly deduplicated; prepartition_edges(dedup=True)
+    # is exact)
     eng = engine or SuperstepEngine(
-        symmetrize(edges), checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+        symmetrize_raw(edges),
+        dedup_edges=True,
+        symmetric=True,
+        checkpoint_dir=checkpoint_dir,
+        **(engine_kwargs or {}),
     )
     init = eng.vertices().select(
         "vid", F.col("vid").alias("value"), F.lit(True).alias("active")

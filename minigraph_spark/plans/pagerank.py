@@ -68,7 +68,6 @@ def run_pagerank(
     )
     if weight_col is not None and variant != "standard":
         raise ValueError("weight_col applies to the standard variant only")
-    verts = eng.vertices()
 
     if personalize is not None and (
         variant != "standard"
@@ -81,24 +80,48 @@ def run_pagerank(
         )
 
     if variant == "standard":
-        # weighted mode: contributions split by edge weight / total
-        # out-weight instead of 1 / out-degree (weighted PageRank, the
-        # natural rule when transcript links carry multiplicities); the
-        # dangling test (outdeg NULL) is unchanged
+        # ONE fused E-row pass builds the vertex set AND the out-degree
+        # (guide §2.4 — remove shuffles outright): previously this was a
+        # distinct-count job, a second distinct inside the init plan, an
+        # outdeg groupBy and a V-row join — three extra E-scale exchanges
+        # per run. Union src-endpoints (carrying the degree contribution)
+        # with dst-endpoints (carrying a null/zero contribution) and group
+        # once by vid; sum() skips nulls, so a vertex seen only as dst
+        # aggregates to NULL = dangling, exactly the old left-join-miss
+        # rule, and a src group's addend order is unchanged (the null
+        # partials merge as no-ops), keeping the float results bit-stable.
         if weight_col is not None:
-            # a source whose weights sum to <= 0 cannot split rank mass
-            # (value / outdeg would be Inf/NaN and propagate silently) —
-            # treat it as dangling (outdeg NULL), the same rule an
-            # out-degree-0 vertex gets in unweighted mode (ADVICE r3)
-            _w_tot = F.sum(F.col(weight_col).cast("double"))
-            outdeg = eng.edges.groupBy("src").agg(
-                F.when(_w_tot > 0.0, _w_tot).alias("outdeg")
+            # weighted mode: contributions split by edge weight / total
+            # out-weight instead of 1 / out-degree. A source whose weights
+            # sum to <= 0 cannot split rank mass (value / outdeg would be
+            # Inf/NaN and propagate silently) — treat it as dangling
+            # (outdeg NULL), the same rule an out-degree-0 vertex gets in
+            # unweighted mode (ADVICE r3)
+            ends = eng.edges.select(
+                F.col("src").alias("vid"),
+                F.col(weight_col).cast("double").alias("_d"),
+            ).unionAll(
+                eng.edges.select(
+                    F.col("dst").alias("vid"),
+                    F.lit(None).cast("double").alias("_d"),
+                )
             )
+            degs = ends.groupBy("vid").agg(F.sum("_d").alias("_deg"))
+            outdeg_expr = F.when(F.col("_deg") > 0.0, F.col("_deg"))
         else:
-            outdeg = eng.edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+            ends = eng.edges.select(
+                F.col("src").alias("vid"), F.lit(1).alias("_d")
+            ).unionAll(
+                eng.edges.select(F.col("dst").alias("vid"), F.lit(0).alias("_d"))
+            )
+            degs = ends.groupBy("vid").agg(F.sum("_d").alias("_deg"))
+            # count-of-out-edges semantics: >0 means has out-edges; the
+            # 0-count (dst-only) vertex maps to NULL = dangling
+            outdeg_expr = F.when(F.col("_deg") > 0, F.col("_deg"))
+        degs = degs.persist()
         # clamp: an empty edge table has zero vertices; the loop then
         # converges immediately on the empty state instead of dividing by 0
-        n = max(verts.count(), 1)
+        n = max(degs.count(), 1)
         # teleport distribution: uniform 1/n, or concentrated on the seeds.
         # p is an expression over vid (literal IN-list), re-evaluated inside
         # apply each sweep — WSCG-side, no extra join or state column.
@@ -109,26 +132,23 @@ def run_pagerank(
         else:
             p_of = lambda vid_col: F.lit(1.0 / n)  # noqa: E731
         if init_ranks is not None:
-            seeded = verts.join(
+            seeded = degs.join(
                 init_ranks.select("vid", F.col("value").alias("_prev")), "vid", "left"
-            ).select("vid", F.coalesce("_prev", F.lit(1.0 / n)).alias("_r"))
-            # renormalize in-plan (1-row broadcast, same device as the
-            # dangling-mass scalar): vertex churn across graph versions
-            # leaves the carried-over mass summing to != 1
+            ).select("vid", "_deg", F.coalesce("_prev", F.lit(1.0 / n)).alias("_r"))
+            # renormalize in-plan (1-row broadcast, setup-only): vertex
+            # churn across graph versions leaves the carried-over mass
+            # summing to != 1
             total = seeded.agg(F.sum("_r").alias("_t"))
             start_val = F.col("_r") / F.col("_t")
             seeded = seeded.crossJoin(F.broadcast(total))
         else:
-            seeded = verts.select("vid", p_of(F.col("vid")).alias("_r"))
+            seeded = degs.select("vid", "_deg", p_of(F.col("vid")).alias("_r"))
             start_val = F.col("_r")
-        init = (
-            seeded.join(outdeg.withColumnRenamed("src", "vid"), "vid", "left")
-            .select(
-                "vid",
-                start_val.alias("value"),
-                F.lit(True).alias("active"),
-                F.col("outdeg").cast("double").alias("outdeg"),
-            )
+        init = seeded.select(
+            "vid",
+            start_val.alias("value"),
+            F.lit(True).alias("active"),
+            outdeg_expr.cast("double").alias("outdeg"),
         )
 
         def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
@@ -143,18 +163,31 @@ def run_pagerank(
                 )
             return joined.select("dst", F.col("c").alias("msg"))
 
+        # dangling mass via the engine's Aggregate hook (extra_agg): the sum
+        # of rank over out-degree-0 vertices is evaluated in the SAME
+        # per-iteration counts action that reads convergence (zero extra
+        # Spark jobs) and fed to the next superstep as a driver-side scalar
+        # literal. The value aggregated over iteration k's state is exactly
+        # the dangling mass apply needs at iteration k+1, because apply
+        # reads the PREVIOUS state's mass. vs the old in-plan broadcast
+        # (state re-scan + SinglePartition Exchange + BroadcastExchange per
+        # superstep — plan nodes 16-23 of plans/r06/pagerank_rmat_before):
+        # same addends, same per-partition partial order, one fewer pass
+        # over V and one fewer driver barrier per iteration. Requires
+        # fuse=1 (extra_agg contract); fuse>1 keeps the in-plan scalar.
+        use_ctx_dangling = fuse == 1
+
         def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-            # dangling mass IN-PLAN: sum of rank over out-degree-0 vertices,
-            # read from the (cached, V-row) state — NOT 1 - sum(messages),
-            # which would re-evaluate the whole E-row scatter+combine subtree
-            # a second time per superstep (Catalyst's exchange reuse does not
-            # fire across the salted two-phase agg). A 1-row broadcast cross
-            # join keeps the scalar inside the plan: no driver collect per
-            # superstep, which is what makes iteration fusion possible.
-            total = state.filter(F.col("outdeg").isNull()).agg(
-                F.sum("value").alias("_dangling")
-            )
-            dangling = F.coalesce(F.col("_dangling"), F.lit(0.0))
+            joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+            if use_ctx_dangling:
+                d = ctx.get("_dangling")
+                dangling = F.lit(float(d) if d is not None else 0.0)
+            else:
+                total = state.filter(F.col("outdeg").isNull()).agg(
+                    F.sum("value").alias("_dangling")
+                )
+                dangling = F.coalesce(F.col("_dangling"), F.lit(0.0))
+                joined = joined.crossJoin(F.broadcast(total))
             if personalize is not None:
                 p = p_of(F.col("vid"))
                 new_val = (
@@ -171,21 +204,23 @@ def run_pagerank(
                     + F.lit(alpha)
                     * (F.coalesce(F.col("agg"), F.lit(0.0)) + dangling / n)
                 )
-            return (
-                state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-                .crossJoin(F.broadcast(total))
-                .select(
-                    "vid",
-                    new_val.alias("value"),
-                    (F.abs(new_val - F.col("value")) > tol).alias("active"),
-                    "outdeg",
-                )
+            return joined.select(
+                "vid",
+                new_val.alias("value"),
+                (F.abs(new_val - F.col("value")) > tol).alias("active"),
+                "outdeg",
             )
 
         res = eng.run(
             init, scatter=scatter, combiner="sum", apply_fn=apply_fn,
             frontier=False, max_iter=max_iter, fuse=fuse, algo="pagerank",
+            extra_agg=(
+                {"_dangling": F.sum(F.when(F.col("outdeg").isNull(), F.col("value")))}
+                if use_ctx_dangling
+                else None
+            ),
         )
+        degs.unpersist()
         if engine is None:
             eng.close()  # free owned edge blocks; caller-passed engines live on
         return res
@@ -197,14 +232,24 @@ def run_pagerank(
                 "(the minigraph rule's epsilon-gate freezes near-fixpoint "
                 "states rather than refining them)"
             )
-        indeg = eng.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+        # same fused vertex-set + degree pass as the standard variant, with
+        # the roles of src/dst swapped (in-degree): one E-row exchange
+        # replaces distinct + groupBy + join
+        ends = eng.edges.select(
+            F.col("dst").alias("vid"), F.lit(1).alias("_d")
+        ).unionAll(
+            eng.edges.select(F.col("src").alias("vid"), F.lit(0).alias("_d"))
+        )
         init = (
-            verts.join(indeg.withColumnRenamed("dst", "vid"), "vid", "left")
+            ends.groupBy("vid")
+            .agg(F.sum("_d").alias("_deg"))
             .select(
                 "vid",
                 F.lit(1.0).alias("value"),
                 F.lit(True).alias("active"),
-                F.col("indeg").cast("double").alias("indeg"),
+                F.when(F.col("_deg") > 0, F.col("_deg"))
+                .cast("double")
+                .alias("indeg"),
             )
         )
 

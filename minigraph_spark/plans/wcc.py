@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.project import symmetrize
+from ..operators.project import symmetrize_raw
 from ..operators.superstep import SuperstepEngine, SuperstepResult
 
 
@@ -164,9 +164,25 @@ def run_wcc(
     _apply_min_hook_jump for why random vertex ids on path graphs need it.
     hooking composes with either pointer_jump setting.
     """
-    graph = edges.select("src", "dst") if directed else symmetrize(edges)
-    eng = engine or SuperstepEngine(
-        graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+    # the symmetrized closure is deduped inside the engine's one-time
+    # partitioning exchange (dedup_edges) rather than by a separate
+    # distinct shuffle, and its vertex set is read from src alone
+    # (symmetric) — one E-scale Exchange instead of two at engine build,
+    # half the distinct input at init (guide §2.4)
+    eng = engine or (
+        SuperstepEngine(
+            edges.select("src", "dst"),
+            checkpoint_dir=checkpoint_dir,
+            **(engine_kwargs or {}),
+        )
+        if directed
+        else SuperstepEngine(
+            symmetrize_raw(edges),
+            dedup_edges=True,
+            symmetric=True,
+            checkpoint_dir=checkpoint_dir,
+            **(engine_kwargs or {}),
+        )
     )
     init = eng.vertices().select(
         "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
@@ -227,11 +243,20 @@ def run_wcc_incremental(
     same monotone-class restriction).
     """
     union_edges = edges.select("src", "dst").unionAll(delta_edges.select("src", "dst"))
-    graph = union_edges if directed else symmetrize(union_edges)
     # engine, if passed, must hold the (symmetrized unless directed) UNION
     # graph — the caller owns the per-graph-version prepartition lifecycle
-    eng = engine or SuperstepEngine(
-        graph, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+    eng = engine or (
+        SuperstepEngine(
+            union_edges, checkpoint_dir=checkpoint_dir, **(engine_kwargs or {})
+        )
+        if directed
+        else SuperstepEngine(
+            symmetrize_raw(union_edges),
+            dedup_edges=True,
+            symmetric=True,
+            checkpoint_dir=checkpoint_dir,
+            **(engine_kwargs or {}),
+        )
     )
     touched = (
         delta_edges.select(F.col("src").alias("vid"))
