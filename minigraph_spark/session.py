@@ -45,6 +45,21 @@ class iterative_confs:
 
     _LOOP_CONFS = {
         "spark.sql.adaptive.enabled": "false",
+        # Whole-stage codegen is a per-PLAN cost: every superstep builds a
+        # fresh plan (new expr ids), so the loop pays janino compilation of
+        # ~6 WSCG stages per ITERATION while the generated class is used
+        # once. wholeStage=false still runs codegen'd per-operator
+        # projections/predicates (small fragments that HIT the code cache
+        # across iterations) — measured r06, interleaved A/B: events-graph
+        # PageRank 24.6->17.4 s and 14.2->11.5 s, WCC 12.0->8.7 s; 16M-edge
+        # R-MAT PageRank 34.9->26.0 s; 64M-edge steady-state per-iteration
+        # parity (3.2-3.3 vs 3.3-3.4 s) with the compile-heavy first sweeps
+        # 10.9->7.4 s. Scoped to loops only — one-shot relational queries
+        # keep WSCG. MG_LOOP_CODEGEN=true restores compilation for
+        # long-sweep at-scale runs where steady-state dominates.
+        "spark.sql.codegen.wholeStage": (
+            os.environ.get("MG_LOOP_CODEGEN", "false") or "false"
+        ),
         # Inside the loop every join is co-partitioned by design (edges
         # hash-partitioned+sorted once by prepartition_edges; state/agg both
         # hash-partitioned on vid by the previous superstep's combine), so a

@@ -177,26 +177,35 @@ def _make_sessionize_stateful(gap_seconds: int):
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if len(pdf) == 0:
+        # per-(group, micro-batch) dispatch is the measured throughput floor
+        # of this operator (BASELINE.md r5 10M-row runs), so the body is
+        # fully vectorized (guide §4.2): no per-row Python loop, no pandas
+        # concat/sort in the 1-batch common case — numpy lexsort + a
+        # cumsum over the gap predicate IS the session assignment
+        import numpy as np
+
+        dfs = [b for b in batches if len(b)]
+        if not dfs:
             return
-        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        pdf = dfs[0] if len(dfs) == 1 else pd.concat(dfs, ignore_index=True)
         # pin the epoch unit before the int view — Arrow may hand pandas
         # either ns or us resolution depending on version
-        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        ts = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        eid = pdf["event_id"].to_numpy().astype("int64")
+        order = np.lexsort((eid, ts))  # primary ts, tie-break event_id
+        ts, eid = ts[order], eid[order]
         last_ns, seq = state.get if state.exists else (None, -1)
-        out = []
-        for t in ts_ns:
-            if last_ns is None or t - last_ns > gap_ns:
-                seq += 1
-            out.append(seq)
-            last_ns = int(t)
-        state.update((int(last_ns), int(seq)))
+        incr = np.empty(len(ts), dtype=np.int64)
+        incr[0] = 1 if (last_ns is None or ts[0] - last_ns > gap_ns) else 0
+        if len(ts) > 1:
+            incr[1:] = ts[1:] - ts[:-1] > gap_ns
+        out = seq + np.cumsum(incr)
+        state.update((int(ts[-1]), int(out[-1])))
         yield pd.DataFrame(
             {
-                "event_id": pdf["event_id"].astype("int64"),
-                "user_id": int(key[0]),
-                "session_seq": pd.Series(out, dtype="int64"),
+                "event_id": eid,
+                "user_id": np.full(len(eid), int(key[0]), dtype="int64"),
+                "session_seq": out,
             }
         )
 
@@ -248,20 +257,45 @@ def stream_turn_rates(
 
 
 def run_available_now(
-    df: DataFrame, query_name: str, output_mode: str = "append"
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain everything currently available through the streaming plan into
     an in-memory sink and return it as a DataFrame (test/drive helper; a
     production sink is writeStream.format('iceberg'/'parquet') with a
     checkpointLocation). Use output_mode='complete' for watermarked windowed
     aggregations when the stream ends before the watermark closes the last
-    windows (append would emit nothing for them)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    windows (append would emit nothing for them).
+
+    state_partitions (or env MG_STREAM_STATE_PARTITIONS) scopes
+    spark.sql.shuffle.partitions around query start: a stateful streaming
+    query pins its state-store partition count at birth from that conf, and
+    each partition pays fixed per-micro-batch costs (state store
+    load/commit, a Python worker dispatch for applyInPandasWithState), so
+    the right count tracks PER-BATCH data volume, not the session-wide
+    width tuned for E-scale batch shuffles (measured on the sf0.1 drain:
+    32 -> 8 partitions cut wall 9.6 -> 5.2 s at identical output; a
+    100 TB/day deployment sizes it UP from throughput instead). Default
+    None leaves the session conf untouched."""
+    import os
+
+    spark = df.sparkSession
+    sp = state_partitions or int(os.environ.get("MG_STREAM_STATE_PARTITIONS", "0"))
+    saved = spark.conf.get("spark.sql.shuffle.partitions") if sp else None
+    if sp:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if sp:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return df.sparkSession.table(query_name)
