@@ -184,6 +184,7 @@ class SuperstepEngine:
         n = num_partitions or n_max
         self.spark = spark
         self.symmetric = symmetric
+        self._verts: DataFrame | None = None
         _ids0 = self._persistent_ids()
         # keep any extra columns the caller selected (e.g. SSSP weights) —
         # scatter functions see self.edges as-is; only (src, dst) is required
@@ -254,6 +255,9 @@ class SuperstepEngine:
         localCheckpoint — see prepartition_edges). The engine is unusable
         afterwards; final algorithm states held by callers are unaffected."""
         try:
+            if self._verts is not None:
+                self._verts.unpersist()
+                self._verts = None
             self._free_ids(getattr(self, "_edge_rdd_ids", set()))
         except Exception:
             pass
@@ -263,13 +267,21 @@ class SuperstepEngine:
         tools/get_statistics.cpp:71-90 bitmap popcount). On a symmetric
         engine every vertex appears as a src, so the src column alone is
         the vertex set — half the distinct input, no union."""
-        if self.symmetric:
-            return self.edges.select(F.col("src").alias("vid")).distinct()
-        return (
-            self.edges.select(F.col("src").alias("vid"))
-            .unionAll(self.edges.select(F.col("dst").alias("vid")))
-            .distinct()
-        )
+        if self._verts is None:
+            if self.symmetric:
+                v = self.edges.select(F.col("src").alias("vid")).distinct()
+            else:
+                v = (
+                    self.edges.select(F.col("src").alias("vid"))
+                    .unionAll(self.edges.select(F.col("dst").alias("vid")))
+                    .distinct()
+                )
+            # lazy persist: no extra job — the first consumer's own
+            # materialization fills the cache, so engines shared across
+            # runs (run_wcc then run_lpa on one engine) execute the V-row
+            # distinct once instead of once per init. Freed in close().
+            self._verts = v.persist()
+        return self._verts
 
     def run(
         self,
