@@ -20,12 +20,15 @@ def _as_double(col):
 
 def _unit_rows(m: "np.ndarray") -> "np.ndarray":
     """Row-normalize, guarding all-zero rows (norm clamped to 1e-12): a
-    zero vector scores sim 0.0 against everything and never enters a
-    top-k, instead of propagating 0/0 = NaN — which Spark's descending
-    sort would rank FIRST (NaN compares greatest). The HOF face
-    (cosine_sim) keeps the raw IEEE semantics for oracle parity; at
-    100-TB corpus scale broken/empty embedding rows are a when, not an
-    if, so the vectorized serving paths take the defensive branch."""
+    zero vector scores sim 0.0 against everything instead of propagating
+    0/0 = NaN — which Spark's descending sort would rank FIRST (NaN
+    compares greatest). Note the guarantee's limit (ADVICE r5): a 0.0 sim
+    never outranks a non-negative-sim neighbor, but when a query has fewer
+    than k neighbors with sim >= 0, a zero corpus row CAN still enter its
+    top-k (0.0 outranks negative sims). The HOF face (cosine_sim) keeps
+    the raw IEEE semantics for oracle parity; at 100-TB corpus scale
+    broken/empty embedding rows are a when, not an if, so the vectorized
+    serving paths take the defensive branch."""
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 

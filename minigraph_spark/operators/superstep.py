@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -280,7 +281,13 @@ class SuperstepEngine:
             # materialization fills the cache, so engines shared across
             # runs (run_wcc then run_lpa on one engine) execute the V-row
             # distinct once instead of once per init. Freed in close().
-            self._verts = v.persist()
+            # persist() compiles the cached physical plan with the conf
+            # active AT CALL TIME, so scope it to the engine width — at
+            # the session width the cached distinct (and thus the init
+            # state) would mismatch the loop's exchanges and trigger
+            # per-superstep re-shuffles (see loop_confs docstring).
+            with self.loop_confs():
+                self._verts = v.persist()
         return self._verts
 
     def run(
@@ -325,20 +332,34 @@ class SuperstepEngine:
         """
         if extra_agg and fuse > 1:
             raise ValueError("extra_agg feeds ctx per superstep; requires fuse=1")
+        with self.loop_confs():
+            return self._run_loop(
+                init_state, scatter, combiner, apply_fn, prepare, extra_agg,
+                frontier, max_iter, fuse, stop_when_unchanged, resume, algo,
+            )
+
+    @contextmanager
+    def loop_confs(self):
+        """iterative_confs + the session shuffle width scoped to the
+        engine's (size-aware) partition count, so combine/apply shuffles
+        match the edge partitioning — otherwise small graphs still pay
+        32-task stages on every groupBy despite a 4-partition plan.
+        run() wraps the whole loop in this; plans must ALSO wrap any
+        DataFrame they MATERIALIZE before run() whose partitioning the
+        loop will inherit (e.g. run_pagerank's fused degree table): a
+        table persisted at the session width feeds the loop a state
+        partitioned n_session-ways while every loop exchange is
+        num_partitions-ways, and EnsureRequirements then silently
+        re-shuffles the big co-partitioned sides EVERY superstep (caught
+        via plans/r06: a 16-partition loop against a 32-partition state
+        re-exchanged the edge table per iteration)."""
         with iterative_confs(self.spark):
-            # scope the session shuffle width to the engine's (size-aware)
-            # partition count so the combine and apply shuffles match the
-            # edge partitioning — otherwise small graphs still pay
-            # 32-task stages on every groupBy despite a 4-partition plan
             saved = self.spark.conf.get("spark.sql.shuffle.partitions")
             self.spark.conf.set(
                 "spark.sql.shuffle.partitions", str(self.num_partitions)
             )
             try:
-                return self._run_loop(
-                    init_state, scatter, combiner, apply_fn, prepare, extra_agg,
-                    frontier, max_iter, fuse, stop_when_unchanged, resume, algo,
-                )
+                yield self
             finally:
                 self.spark.conf.set("spark.sql.shuffle.partitions", saved)
 

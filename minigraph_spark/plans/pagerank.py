@@ -118,10 +118,21 @@ def run_pagerank(
             # count-of-out-edges semantics: >0 means has out-edges; the
             # 0-count (dst-only) vertex maps to NULL = dangling
             outdeg_expr = F.when(F.col("_deg") > 0, F.col("_deg"))
-        degs = degs.persist()
-        # clamp: an empty edge table has zero vertices; the loop then
-        # converges immediately on the empty state instead of dividing by 0
-        n = max(degs.count(), 1)
+        # persist AND materialize under the engine's loop scope: degs'
+        # groupBy exchange decides the partitioning the init state (and
+        # thus every later superstep's state) inherits, and persist()
+        # compiles the cached physical plan with the conf active AT CALL
+        # TIME — at the session width it would mismatch the engine's
+        # size-aware count and EnsureRequirements would then re-shuffle
+        # the co-partitioned join sides every superstep (caught via
+        # plans/r06: a 16-partition loop against a 32-partition state
+        # re-exchanged the edge table per iteration)
+        with eng.loop_confs():
+            degs = degs.persist()
+            # clamp: an empty edge table has zero vertices; the loop then
+            # converges immediately on the empty state instead of dividing
+            # by 0
+            n = max(degs.count(), 1)
         # teleport distribution: uniform 1/n, or concentrated on the seeds.
         # p is an expression over vid (literal IN-list), re-evaluated inside
         # apply each sweep — WSCG-side, no extra join or state column.

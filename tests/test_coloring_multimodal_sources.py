@@ -736,6 +736,12 @@ def test_cosine_topk_matmul_zero_vector_guard(spark):
     out = cosine_topk_matmul(corpus, corpus.filter(F.col("vec_id") < 4), k=5)
     pdf = out.toPandas()
     assert np.isfinite(pdf["sim"]).all()
+    # Precondition (ADVICE r5): the zero row's exclusion holds because the
+    # clustered fixture gives every query >= k neighbors with sim > 0 —
+    # a 0.0-sim row legitimately enters a top-k that has fewer than k
+    # non-negative-sim candidates. Assert the precondition explicitly so a
+    # fixture tweak fails here, not mysteriously on the guard assertion.
+    assert (pdf["sim"] > 0).all(), "fixture must give k positive-sim neighbors"
     assert 10_000 not in set(pdf["neighbor_id"])
     # zero-vector QUERY: finite sims (all 0.0 against unit rows)
     qz = cosine_topk_matmul(corpus, zero, k=3).toPandas()
