@@ -93,6 +93,22 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return symmetrize_raw(edges).distinct()
 
 
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple closure: each undirected edge once as
+    (min, max), self-loops dropped. Row-identical to
+    ``symmetrize(edges).filter(src < dst)`` but the dedup shuffle carries
+    E rows instead of the 2E symmetrized union (the oriented_edges trick,
+    plans/triangles.py:46, promoted here for every canonical-closure
+    consumer — guide §2.3, shuffle fewer bytes)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def symmetrize_raw(edges: DataFrame) -> DataFrame:
     """Both directions with self-loops dropped but WITHOUT the dedup
     shuffle — the input to prepartition_edges(dedup=True), which folds the

@@ -76,7 +76,7 @@ def run_eigenvector(
     rides in-plan as a 1-row broadcast. Lineage truncates per sweep via
     eager localCheckpoint."""
     from ..operators.partition import prepartition_edges
-    from ..operators.project import symmetrize
+    from ..operators.project import symmetrize_raw
     from ..session import iterative_confs
 
     spark = edges.sparkSession
@@ -85,7 +85,11 @@ def run_eigenvector(
     )
     _pre = persistent_rdd_ids(spark)
     with iterative_confs(spark):
-        und = prepartition_edges(symmetrize(edges), n_part, by="src")
+        # dedup folded into the one-time partitioning exchange (the
+        # engine's dedup_edges device) - one E-scale Exchange, not two
+        und = prepartition_edges(
+            symmetrize_raw(edges), n_part, by="src", dedup=True
+        )
     edge_ids = persistent_rdd_ids(spark) - _pre
     verts = und.select(F.col("src").alias("vid")).distinct()
 

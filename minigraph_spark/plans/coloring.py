@@ -18,14 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.project import symmetrize
+from ..operators.project import canonicalize
 from ..operators.superstep import SuperstepEngine, SuperstepResult
 
 
 def canonical_edges(edges: DataFrame) -> DataFrame:
     """Undirected simple closure with each edge kept once as (min, max) —
     the edge table run_coloring's engine expects."""
-    return symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    return canonicalize(edges)
 
 
 def run_coloring(
@@ -85,7 +85,7 @@ def run_coloring(
 
 def coloring_conflicts(edges: DataFrame, colors: DataFrame) -> int:
     """Validity probe: number of edges whose endpoints share a color."""
-    und = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    und = canonicalize(edges)
     cs = colors.select(F.col("vid").alias("src"), F.col("value").alias("c_src"))
     cd = colors.select(F.col("vid").alias("dst"), F.col("value").alias("c_dst"))
     return (

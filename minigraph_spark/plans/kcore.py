@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.project import symmetrize
+from ..operators.project import canonicalize
 from ..operators.superstep import free_rdd_ids, persistent_rdd_ids
 
 
@@ -42,8 +42,7 @@ def run_kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     # (k near the degeneracy) runs tens of rounds.
     before = persistent_rdd_ids(spark)
     cur = (
-        symmetrize(edges)
-        .filter(F.col("src") < F.col("dst"))
+        canonicalize(edges)
         .localCheckpoint(eager=True)
     )
     cur_ids = persistent_rdd_ids(spark) - before

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.project import symmetrize
+from ..operators.project import canonicalize
 from ..operators.superstep import free_rdd_ids, persistent_rdd_ids
 from .triangles import _edge_intersections, oriented_edges
 
@@ -87,8 +87,7 @@ def run_ktruss(
     # rounds. Same discipline as SuperstepEngine (superstep.py:340).
     before = persistent_rdd_ids(spark)
     cur = (
-        symmetrize(edges)
-        .filter(F.col("src") < F.col("dst"))
+        canonicalize(edges)
         .localCheckpoint(eager=True)
     )
     cur_ids = persistent_rdd_ids(spark) - before
@@ -155,8 +154,7 @@ def _run_ktruss_incremental(
     spark = edges.sparkSession
     before = persistent_rdd_ids(spark)
     cur = (
-        symmetrize(edges)
-        .filter(F.col("src") < F.col("dst"))
+        canonicalize(edges)
         .localCheckpoint(eager=True)
     )
     cur_ids = persistent_rdd_ids(spark) - before

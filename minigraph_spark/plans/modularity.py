@@ -18,14 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.project import symmetrize
+from ..operators.project import canonicalize
 
 
 def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One row (modularity). ``labels`` is (vid, label); vertices missing
     from it fall into no community (their edges count only toward m /
     degrees, the standard treatment of unlabeled periphery)."""
-    canon = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    canon = canonicalize(edges)
     canon = canon.persist()
     m = canon.count()
     if m == 0:
@@ -88,7 +88,7 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     Scale shape: identical to modularity — one E-row double label join, one
     V-row label join, all aggregates map-side combinable, no iteration.
     """
-    canon = symmetrize(edges).filter(F.col("src") < F.col("dst")).persist()
+    canon = canonicalize(edges).persist()
     m = canon.count()
     lab = labels.select("vid", "label")
     both = canon.join(

@@ -132,9 +132,9 @@ def degree_histogram(edges: DataFrame, log_base: float = 2.0) -> DataFrame:
 
     One E-row canonicalize + V-row degree agg + ~log(max_deg)-row result;
     all map-side combinable."""
-    from ..operators.project import symmetrize
+    from ..operators.project import canonicalize
 
-    canon = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    canon = canonicalize(edges)
     deg = (
         canon.select(F.explode(F.array("src", "dst")).alias("vid"))
         .groupBy("vid")
@@ -224,9 +224,9 @@ def rich_club(edges: DataFrame, max_k: int | None = None) -> DataFrame:
     Pass ``max_k`` to cap the grid on graphs with mega-degree hubs (the
     curve's tail above the 2nd-highest degree is degenerate anyway:
     n_nodes <= 1)."""
-    from ..operators.project import symmetrize
+    from ..operators.project import canonicalize
 
-    canon = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    canon = canonicalize(edges)
     deg = (
         canon.select(F.explode(F.array("src", "dst")).alias("vid"))
         .groupBy("vid")
