@@ -203,17 +203,25 @@ def butterfly_count(
     b = _dedup(bip, left_col, right_col).persist()
     b.count()
     if center == "auto":
-        # one 1-row scalar per side (sides may have incompatible id types,
-        # e.g. BIGINT users x DATE days, so no union of the two)
-        def side_wedges(col: str) -> float:
-            row = (
-                b.groupBy(col).agg(F.count(F.lit(1)).alias("d"))
-                .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
-                .collect()
-            )
-            return float(row[0]["w"] or 0.0)
-
-        ctr = "l" if side_wedges("l") <= side_wedges("r") else "r"
+        # BOTH side scalars in ONE job: the sides may have incompatible id
+        # types (BIGINT users x DATE days), so union their keys as strings
+        # (cast is injective per type, and the side tag keeps them from
+        # mixing) — per-(side, key) counts are identical to the per-side
+        # groupBys, and the wedge terms d*(d-1)/2 are exact multiples of
+        # 0.5, so the sums are order-independent. Halves the job barriers
+        # of the side choice (was one E-row aggregate job per side).
+        both = b.select(
+            F.col("l").cast("string").alias("k"), F.lit("l").alias("s")
+        ).unionAll(
+            b.select(F.col("r").cast("string").alias("k"), F.lit("r").alias("s"))
+        )
+        rows = (
+            both.groupBy("s", "k").agg(F.count(F.lit(1)).alias("d"))
+            .groupBy("s").agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+            .collect()
+        )
+        wedges = {r["s"]: float(r["w"] or 0.0) for r in rows}
+        ctr = "l" if wedges.get("l", 0.0) <= wedges.get("r", 0.0) else "r"
     else:
         ctr = "l" if center == "left" else "r"
     pairs = _wedge_pairs(b, ctr, max_center_degree, center_buckets)
