@@ -90,8 +90,12 @@ def run_eigenvector(
         und = prepartition_edges(
             symmetrize_raw(edges), n_part, by="src", dedup=True
         )
+    # the vertex set is re-read every sweep (and twice on sweep 1 via st) —
+    # checkpoint it once; und is symmetric, so src alone is the vertex set
+    verts = (
+        und.select(F.col("src").alias("vid")).distinct().localCheckpoint(eager=True)
+    )
     edge_ids = persistent_rdd_ids(spark) - _pre
-    verts = und.select(F.col("src").alias("vid")).distinct()
 
     before = persistent_rdd_ids(spark)
     st = verts.select("vid", F.lit(1.0).alias("score")).localCheckpoint(
@@ -107,6 +111,14 @@ def run_eigenvector(
             .groupBy("dst")
             .agg(F.sum("score").alias("_raw"))
         )
+        # checkpoint the RAW sweep aggregate: the L2 norm and the merge
+        # both re-reference it, and ReuseExchange does not match exchanges
+        # over partitioning-recording checkpoint leaves (measured r06, see
+        # plans/hits.py) — without this the E-row scatter+combine executes
+        # twice per sweep
+        before = persistent_rdd_ids(spark)
+        raw = raw.localCheckpoint(eager=True)
+        raw_ids = persistent_rdd_ids(spark) - before
         norm = raw.agg(F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_n"))
         before = persistent_rdd_ids(spark)
         nxt = (
@@ -120,6 +132,7 @@ def run_eigenvector(
             )
         ).localCheckpoint(eager=True)
         nxt_ids = persistent_rdd_ids(spark) - before
+        free_rdd_ids(spark, raw_ids)
         free_rdd_ids(spark, st_ids)
         st, st_ids = nxt, nxt_ids
     # free the prepartitioned symmetrized-edge cache: the returned state is

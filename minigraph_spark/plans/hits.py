@@ -172,33 +172,42 @@ def _run_hits_loop(
     it, converged = 0, False
     for it in range(1, limit + 1):
         # auth phase: co-partitioned scatter join (exchange-free on the
-        # E side AND the h side) + one sum-combine exchange on dst
+        # E side AND the h side) + one sum-combine exchange on dst.
+        # The RAW phase aggregate is what gets checkpointed: the
+        # normalization total and the normalized frame both re-reference
+        # the phase subtree, and Spark's ReuseExchange rule does NOT
+        # match exchanges over partitioning-recording checkpoint leaves
+        # (verified empirically r06: identical subtrees over a
+        # prepartitioned LogicalRDD plan twice, ReusedExchange absent) —
+        # checkpointing the raw aggregate makes every consumer a trivial
+        # projection over cached V rows, so the E-row join+combine runs
+        # exactly ONCE per phase.
         a_raw = fwd.join(h, "src").groupBy("dst").agg(F.sum("hub").alias("_raw"))
+        if it - 1 == _EXPLAIN:
+            a_raw.explain("formatted")
+        before = persistent_rdd_ids(spark)
+        a_raw = a_raw.localCheckpoint(eager=True)
+        a_ids = persistent_rdd_ids(spark) - before
         a_tot = a_raw.agg(F.sum("_raw").alias("_t"))
         a_cur = a_raw.crossJoin(F.broadcast(a_tot)).select(
             "dst", (F.col("_raw") / F.col("_t")).alias("auth")
         )
-        if it - 1 == _EXPLAIN:
-            a_cur.explain("formatted")
-        before = persistent_rdd_ids(spark)
-        a_cur = a_cur.localCheckpoint(eager=True)
-        a_ids = persistent_rdd_ids(spark) - before
 
         # hub phase: edge side exchange-free only under edge_cache="dual";
-        # a_cur is dst-hash partitioned by the combine above, so the small
-        # side never re-shuffles
+        # a_cur is dst-hash partitioned (projection over the combine's
+        # checkpoint), so the small side never re-shuffles
         h_raw = bwd.join(a_cur, "dst").groupBy("src").agg(
             F.sum("auth").alias("_raw")
         )
+        if it - 1 == _EXPLAIN:
+            h_raw.explain("formatted")
+        before = persistent_rdd_ids(spark)
+        h_raw = h_raw.localCheckpoint(eager=True)
+        h_cur_ids = persistent_rdd_ids(spark) - before
         h_tot = h_raw.agg(F.sum("_raw").alias("_t"))
         h_cur = h_raw.crossJoin(F.broadcast(h_tot)).select(
             "src", (F.col("_raw") / F.col("_t")).alias("hub")
         )
-        if it - 1 == _EXPLAIN:
-            h_cur.explain("formatted")
-        before = persistent_rdd_ids(spark)
-        h_cur = h_cur.localCheckpoint(eager=True)
-        h_cur_ids = persistent_rdd_ids(spark) - before
 
         if tol is not None:
             # max(|Δauth|, |Δhub|) over ALL vertices. The slim frames' key
