@@ -159,6 +159,7 @@ def prepartition_edges(
     by: str = "src",
     persist: bool = True,
     dedup: bool = False,
+    count_obs=None,
 ) -> DataFrame:
     """Hash-repartition the edge table by ``by`` once and persist — the
     DataFrame analog of the reference's one-time graph_partition_exec step
@@ -175,7 +176,16 @@ def prepartition_edges(
     (the distinct's (src,dst)-hash shuffle), at the cost of sorting by one
     extra column the engine's scatter join doesn't need. (src, dst)-only
     tables, for consumers that dedup anyway (undirected closures, simple
-    digraphs); the output rows are exactly ``edges.distinct()``."""
+    digraphs); the output rows are exactly ``edges.distinct()``.
+
+    count_obs: an optional pyspark Observation; when given (requires
+    persist=True), the output row count is attached as an observed metric
+    (``count_obs.get["n"]``) and delivered by the checkpoint's own
+    materialization job — saving the caller a separate full scan of the
+    cached E rows (the SuperstepEngine size-aware-width count). The
+    CollectMetrics node preserves the child's partitioning AND ordering,
+    so the checkpoint still records both (verified: the scatter SMJ stays
+    exchange-free and edge-side sort-free)."""
     if dedup:
         if set(edges.columns) != {"src", "dst"}:
             raise ValueError(
@@ -194,6 +204,11 @@ def prepartition_edges(
         )
     else:
         out = edges.repartition(num_partitions, by).sortWithinPartitions(by)
+    if count_obs is not None:
+        if not persist:
+            raise ValueError("count_obs requires persist=True (needs the "
+                             "checkpoint's materialization job)")
+        out = out.observe(count_obs, F.count(F.lit(1)).alias("n"))
     if persist:
         # eager localCheckpoint rather than persist: it caches the blocks
         # AND replaces the logical subtree with a compact LogicalRDD leaf

@@ -33,7 +33,7 @@ from collections.abc import Callable
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .. import checkpoint as ckpt
@@ -189,13 +189,18 @@ class SuperstepEngine:
         _ids0 = self._persistent_ids()
         # keep any extra columns the caller selected (e.g. SSSP weights) —
         # scatter functions see self.edges as-is; only (src, dst) is required
-        self.edges = prepartition_edges(edges, n, by="src", dedup=dedup_edges)
+        # the size-aware-width edge count rides the prepartition
+        # materialization job as an observed metric — no separate scan of
+        # the cached E rows (guide §1.2: fewer passes)
+        _n_obs = Observation() if num_partitions is None else None
+        self.edges = prepartition_edges(
+            edges, n, by="src", dedup=dedup_edges, count_obs=_n_obs
+        )
         self._edge_rdd_ids = self._persistent_ids() - _ids0
         if num_partitions is None:
-            # count from the just-materialized cache (cheap scan), then
             # re-partition down if the graph is small; the extra cached-side
             # shuffle is one-time and buys it back within a few supersteps
-            n_edges = self.edges.count()
+            n_edges = int(_n_obs.get["n"])
             ideal = max(1, min(n_max, -(-n_edges // self.TARGET_ROWS_PER_PARTITION)))
             if ideal < n:
                 _ids1 = self._persistent_ids()
@@ -386,14 +391,20 @@ class SuperstepEngine:
                 start_iter = found[0] + 1
                 state = found[1]
         state = state.persist(self._state_level)
-        state.count()  # materialize
 
         prev_extra: dict = {}
         if extra_agg:
-            row = state.agg(
-                *[c.alias(k) for k, c in extra_agg.items()]
-            ).collect()[0]
+            # materialize the init state AND read the initial extra_agg
+            # scalars in ONE job (observed metrics on the materializing
+            # count — the same CollectMetrics fusion the loop body uses)
+            obs0 = Observation()
+            state.observe(
+                obs0, *[c.alias(k) for k, c in extra_agg.items()]
+            ).count()
+            row = obs0.get
             prev_extra = {k: row[k] for k in extra_agg}
+        else:
+            state.count()  # materialize
 
         result = SuperstepResult(state=state)
         prev_state_ids: set = set()  # init persist freed by state.unpersist()
@@ -425,43 +436,55 @@ class SuperstepEngine:
                 else:
                     agg = salted_agg(msgs, "dst", "msg", combiner, self.hot_keys)
                 new_state = apply_fn(new_state, agg, ctx)
-            # Lineage + stats management, one superstep = ONE Spark job:
-            # a LAZY localCheckpoint truncates the logical plan, and the
-            # counts action below both materializes the checkpoint and reads
-            # the convergence counters in the same job. The catch: the
-            # checkpoint's LogicalRDD rewrites stats from the ORIGIN plan,
-            # and plans referencing `state` 2-3x (scatter + apply + scalar
-            # cross joins) SQUARE sizeInBytes per round — so every
-            # `stats_reset_every` rounds we take the two-job path (persist,
-            # materialize via counts, THEN eager-checkpoint) which re-reads
-            # the real cached size and resets the BigInteger before Catalyst
-            # starts multiplying megabyte-long numbers.
+            # Lineage + stats management, one superstep = ONE Spark job.
+            # Default (reset) path: persist the new state, attach the
+            # convergence counters as OBSERVED metrics (CollectMetrics —
+            # accumulator-based, exactly-once per row), and let the eager
+            # localCheckpoint's own materialization job deliver them: the
+            # single job computes the superstep, fills the cache, stores the
+            # checkpoint blocks AND aggregates the counters — no separate
+            # counts action and no extra cache-scan pass (guide §1.2: fewer
+            # passes; verified plan-identical to the two-job path, and the
+            # checkpoint still records the child's hashpartitioning —
+            # CollectMetricsExec is partitioning-preserving). The persist is
+            # stats hygiene, not reuse: the checkpoint's LogicalRDD rewrites
+            # stats from the ORIGIN plan, and plans referencing `state` 2-3x
+            # (scatter + apply + self-joins) SQUARE sizeInBytes per round —
+            # the materialized InMemoryRelation re-reads the real cached
+            # size and resets the BigInteger before Catalyst starts
+            # multiplying megabyte-long numbers. The non-reset path (opt-in
+            # via MG_STATS_RESET_EVERY>1) keeps the lazy-checkpoint + counts
+            # action shape, accepting stats growth between resets.
             if window_start == _EXPLAIN:
                 new_state.explain("formatted")
             ids_before = self._persistent_ids()
             reset_round = it % self._stats_reset_every == self._stats_reset_every - 1
             if reset_round:
-                new_state = new_state.persist(self._state_level)
+                cached = new_state.persist(self._state_level)
+                obs = Observation()
+                observed = cached.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("active").cast("long")).alias("changed"),
+                    *[c.alias(k) for k, c in (extra_agg or {}).items()],
+                )
+                new_state = observed.localCheckpoint(
+                    eager=True, storageLevel=self._state_level
+                )
+                counts = obs.get
+                cached.unpersist()
             else:
                 new_state = new_state.localCheckpoint(
                     eager=False, storageLevel=self._state_level
                 )
-
-            counts = new_state.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("active").cast("long")).alias("changed"),
-                *[c.alias(k) for k, c in (extra_agg or {}).items()],
-            ).collect()[0]
+                counts = new_state.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("active").cast("long")).alias("changed"),
+                    *[c.alias(k) for k, c in (extra_agg or {}).items()],
+                ).collect()[0]
             num_changed = int(counts["changed"] or 0)
             if extra_agg:
                 prev_extra = {k: counts[k] for k in extra_agg}
-
-            if reset_round:
-                truncated = new_state.localCheckpoint(
-                    eager=True, storageLevel=self._state_level
-                )
-                new_state.unpersist()
-                new_state = truncated
             for df in ctx["_unpersist_after"]:
                 df.unpersist()
             # free the PREVIOUS superstep's state blocks now that the new
