@@ -226,16 +226,49 @@ def prepartition_edges(
         from ..session import iterative_confs
 
         with iterative_confs(edges.sparkSession):
-            # SERIALIZED blocks (MEMORY_AND_DISK, not the _DESER default):
-            # deserialized UnsafeRow objects cost ~60-70 B/row, which OOMed
-            # the 48g sandbox JVM at 512M symmetrized edges; serialized
-            # packs ~3x denser and the once-per-superstep sequential scan
-            # amortizes the deserialization. At 10^9 edges on a real
-            # cluster this is the difference between caching the graph and
-            # re-reading it from storage every iteration.
-            out = out.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
+            # Storage level is SIZE-ADAPTIVE, decided once at partition time
+            # (the same decide-at-partition-time rule as the engine's
+            # size-aware width). Deserialized blocks skip the per-superstep
+            # deserialization of every E row — measured interleaved on the
+            # 16M-edge bench graph: PageRank loop 21.8/17.4 -> 16.8/14.1 s,
+            # setup 10.9/10.3 -> 7.8/8.4 s — but deserialized UnsafeRow
+            # objects cost ~60-70 B/row and OOMed the 48g sandbox JVM at
+            # 512M symmetrized edges (serialized packs ~3x denser), so big
+            # graphs must stay serialized. The decision reads the
+            # optimizer's pre-shuffle size estimate: parquet-backed edge
+            # plans estimate from file bytes (accurate where it matters —
+            # the at-scale graphs are parquet), and an unknown/huge
+            # estimate fails SAFE to serialized. Budget default 2 GiB of
+            # estimated input ≈ <=16 GB deserialized cache (~8x parquet
+            # blowup); production sets MG_EDGE_DESER_MAX_BYTES from
+            # executor_heap * safe_fraction / blowup, or pins
+            # MG_EDGE_STORAGE=ser|deser explicitly.
+            import os as _os
+
+            _mode = _os.environ.get("MG_EDGE_STORAGE", "auto")
+            if _mode == "deser":
+                _lvl = StorageLevel.MEMORY_AND_DISK_DESER
+            elif _mode == "ser":
+                _lvl = StorageLevel.MEMORY_AND_DISK
+            else:
+                try:
+                    _est = int(
+                        out._jdf.queryExecution()
+                        .optimizedPlan()
+                        .stats()
+                        .sizeInBytes()
+                    )
+                except Exception:
+                    _est = 1 << 62  # unknown -> serialized (safe)
+                _budget = int(
+                    _os.environ.get("MG_EDGE_DESER_MAX_BYTES", str(2 << 30))
+                )
+                _lvl = (
+                    StorageLevel.MEMORY_AND_DISK_DESER
+                    if _est <= _budget
+                    else StorageLevel.MEMORY_AND_DISK
+                )
+            out = out.localCheckpoint(eager=True, storageLevel=_lvl)
     return out
 
 
