@@ -89,8 +89,22 @@ def project_edges(transcripts: DataFrame, with_tool_edges: bool = True,
 
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected closure: union of both directions, deduped, self-loops
-    dropped (self-loop filter parity: edge_cut_partitioner.h:103)."""
-    return symmetrize_raw(edges).distinct()
+    dropped (self-loop filter parity: edge_cut_partitioner.h:103).
+
+    The result carries provenance markers (`_mg_dedup_raw`, the pre-dedup
+    closure, and `_mg_symmetric`) that SuperstepEngine consumes to fold
+    the dedup into its one-time partitioning exchange and read the vertex
+    set from src alone — `SuperstepEngine(symmetrize(e))` then builds the
+    exact plan of `SuperstepEngine(symmetrize_raw(e), dedup_edges=True,
+    symmetric=True)` (one E-scale Exchange instead of two; guide §2.4).
+    The markers are inert Python attributes: any other consumer sees a
+    plain deduplicated DataFrame, and any transformation returns a new
+    DataFrame without them."""
+    raw = symmetrize_raw(edges)
+    out = raw.distinct()
+    out._mg_dedup_raw = raw
+    out._mg_symmetric = True
+    return out
 
 
 def canonicalize(edges: DataFrame) -> DataFrame:
@@ -99,14 +113,18 @@ def canonicalize(edges: DataFrame) -> DataFrame:
     ``symmetrize(edges).filter(src < dst)`` but the dedup shuffle carries
     E rows instead of the 2E symmetrized union (the oriented_edges trick,
     plans/triangles.py:46, promoted here for every canonical-closure
-    consumer — guide §2.3, shuffle fewer bytes)."""
-    return (
-        edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    consumer — guide §2.3, shuffle fewer bytes).
+
+    Carries the `_mg_dedup_raw` provenance marker (see symmetrize) so an
+    engine built directly over this closure folds the dedup into its
+    partitioning exchange; canonical closures are NOT symmetric, so no
+    `_mg_symmetric` marker."""
+    raw = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    out = raw.distinct()
+    out._mg_dedup_raw = raw
+    return out
 
 
 def symmetrize_raw(edges: DataFrame) -> DataFrame:

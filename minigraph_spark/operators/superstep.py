@@ -184,6 +184,19 @@ class SuperstepEngine:
         n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
         n = num_partitions or n_max
         self.spark = spark
+        # provenance markers from project.symmetrize / project.canonicalize:
+        # the input IS `raw.distinct()`, so fold the dedup into the
+        # partitioning exchange (prepartition dedup contract: exactly
+        # `.distinct()`'s rows) instead of executing the distinct as its
+        # own E-scale exchange, and — for symmetrize — read the vertex set
+        # from src alone. Makes externally-composed engines (e.g.
+        # SuperstepEngine(symmetrize(e))) build the same one-exchange plan
+        # the in-package plans get via symmetrize_raw + dedup_edges=True.
+        _raw = getattr(edges, "_mg_dedup_raw", None)
+        if _raw is not None and not dedup_edges:
+            symmetric = symmetric or getattr(edges, "_mg_symmetric", False)
+            edges = _raw
+            dedup_edges = True
         self.symmetric = symmetric
         self._verts: DataFrame | None = None
         _ids0 = self._persistent_ids()

@@ -113,6 +113,43 @@ def test_wcc_engine_reuse(spark):
     eng.close()
 
 
+def test_engine_folds_marked_dedup_closures(spark):
+    """SuperstepEngine consumes the provenance markers set by
+    project.symmetrize / project.canonicalize: the separate distinct
+    exchange is replaced by the dedup-folded prepartition (row-identical
+    by the prepartition dedup contract) and symmetrize additionally
+    implies symmetric=True (src-only vertex set)."""
+    from minigraph_spark.operators.project import canonicalize, symmetrize
+    from minigraph_spark.operators.superstep import SuperstepEngine
+
+    arr = make_rmat_edges_np(power=6, num_edges=200, seed=23)
+    edges = _spark_edges(spark, arr)
+
+    sym = symmetrize(edges)
+    eng = SuperstepEngine(sym, salt_skew=False)
+    assert eng.symmetric  # inferred from the marker
+    assert sorted(map(tuple, eng.edges.collect())) == sorted(
+        map(tuple, sym.collect())
+    )
+    # vertex set from src alone must still equal the full endpoint set
+    vids = sorted(r["vid"] for r in eng.vertices().collect())
+    assert vids == sorted(
+        {s for s, d in arr if s != d} | {d for s, d in arr if s != d}
+    )
+    eng.close()
+
+    can = canonicalize(edges)
+    ceng = SuperstepEngine(can, salt_skew=False)
+    assert not ceng.symmetric  # canonical closures are one-directional
+    assert sorted(map(tuple, ceng.edges.collect())) == sorted(
+        map(tuple, can.collect())
+    )
+    ceng.close()
+
+    # a transformed frame loses the marker: no accidental folding
+    assert not hasattr(sym.select("src", "dst"), "_mg_dedup_raw")
+
+
 def test_wcc_decremental_equals_batch_on_remaining(spark):
     """Deletion IncEval == batch WCC on (edges \\ deleted), including min-vid
     labels, untouched-component passthrough, and batch vertex-existence
