@@ -52,8 +52,16 @@ def persistent_rdd_ids(spark) -> set:
     """Ids of every persisted RDD in the JVM — includes localCheckpoint
     blocks, which df.unpersist() cannot free (they live outside the cache
     manager). Shared by every iterative loop in the package: snapshot
-    around a materialization, diff, and free_rdd_ids the previous round."""
-    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    around a materialization, diff, and free_rdd_ids the previous round.
+
+    Reads the key set as ONE Java array instead of iterating the py4j map
+    view: py4j's map/iterator protocol pays a JVM roundtrip per entry and
+    terminates with a NoSuchElementException whose driver-side conversion
+    walks ~13 instanceof calls (~20 ms per snapshot — profiled at 0.7 s
+    of a 6.2 s warm 15-iteration events PageRank, two snapshots per
+    superstep)."""
+    jarr = spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    return {int(jarr[i]) for i in range(len(jarr))}
 
 
 def free_rdd_ids(spark, ids: set) -> None:
