@@ -169,6 +169,32 @@ class SuperstepEngine:
         __import__("os").environ.get("MG_TARGET_ROWS_PER_PARTITION", "32768") or 32768
     )
 
+    # optimizer-estimate divisor for the pre-shuffle width choice below:
+    # measured estimate/true-rows across this repo's edge inputs — parquet
+    # scans 6.2-8.8 B/row (compressed file bytes propagated), plans over
+    # persisted frames 16 B/row — so 12 keeps the derived width within the
+    # 2x keep-band of the observed ideal for all of them
+    EST_BYTES_PER_ROW = 12
+
+    @staticmethod
+    def _estimate_rows(df: DataFrame) -> int | None:
+        """Pre-execution row estimate from the optimizer's stats: the exact
+        rowCount when Catalyst knows it, else sizeInBytes divided by the
+        measured bytes-per-row constant, else None (unknown/absurd)."""
+        try:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            rc = stats.rowCount()
+            if rc.isDefined():
+                # str(): the scala.math.BigInt py4j proxy has no reliable
+                # numeric accessor; its toString is the exact integer
+                return max(1, int(str(rc.get())))
+            b = int(stats.sizeInBytes())
+        except Exception:
+            return None
+        if b <= 0 or b >= (1 << 60):
+            return None
+        return max(1, b // SuperstepEngine.EST_BYTES_PER_ROW)
+
     def __init__(
         self,
         edges: DataFrame,
@@ -214,16 +240,29 @@ class SuperstepEngine:
         # materialization job as an observed metric — no separate scan of
         # the cached E rows (guide §1.2: fewer passes)
         _n_obs = Observation() if num_partitions is None else None
+        if num_partitions is None:
+            # choose the INITIAL width from the optimizer's pre-shuffle size
+            # estimate (guide §2.2 — derive partition counts from input
+            # size): small graphs then shuffle ONCE at (near-)final width
+            # instead of the wide-shuffle-then-downsize double pass. The
+            # exact observed count below corrects the choice only when the
+            # estimate was badly off — width is a performance knob with a
+            # wide plateau, so a second full E-row shuffle is only worth
+            # paying outside a 2x band of the ideal.
+            _est = self._estimate_rows(edges)
+            if _est is not None:
+                n = max(1, min(n_max, -(-_est // self.TARGET_ROWS_PER_PARTITION)))
         self.edges = prepartition_edges(
             edges, n, by="src", dedup=dedup_edges, count_obs=_n_obs
         )
         self._edge_rdd_ids = self._persistent_ids() - _ids0
         if num_partitions is None:
-            # re-partition down if the graph is small; the extra cached-side
-            # shuffle is one-time and buys it back within a few supersteps
+            # corrective re-partition (one extra cached-side shuffle) only
+            # when the estimated width missed the observed ideal by >2x in
+            # either direction
             n_edges = int(_n_obs.get["n"])
             ideal = max(1, min(n_max, -(-n_edges // self.TARGET_ROWS_PER_PARTITION)))
-            if ideal < n:
+            if ideal * 2 < n or ideal > n * 2:
                 _ids1 = self._persistent_ids()
                 small = prepartition_edges(self.edges, ideal, by="src")
                 small_ids = self._persistent_ids() - _ids1
