@@ -256,6 +256,81 @@ def stream_turn_rates(
     )
 
 
+# size-adaptive state width calibration (see run_available_now): target
+# rows per state partition per micro-batch, and the bytes/row divisor for
+# estimating rows from source file sizes (measured 12.4 B/row on the
+# narrow numeric event slices; same constant family as
+# SuperstepEngine.EST_BYTES_PER_ROW). The 4096-row target sits on the
+# measured plateau: at ~25k rows/batch, 8 partitions (~3k rows each) ran
+# 5.2 s vs 9.6 s at 32 and 6.1 s at 4 — the per-partition-per-batch fixed
+# cost (state store load/commit + a Python dispatch) dominates below ~4k
+# rows of vectorized work per partition.
+_STREAM_TARGET_ROWS_PER_PARTITION = 4096
+_STREAM_EST_BYTES_PER_ROW = 12
+
+
+def _adaptive_state_partitions(df: DataFrame) -> int | None:
+    """Derive a state-store partition count from the stream SOURCE's size
+    (guide §2.2 — scale-adaptive partitioning, the streaming twin of
+    SuperstepEngine's size-aware width): estimate rows per micro-batch from
+    the file-stream source's on-disk bytes and maxFilesPerTrigger, divide
+    by the per-partition target, clamp to [1, session width]. Returns None
+    (= leave the session conf) whenever the plan is not a single local
+    file-stream source or anything in the estimate is unavailable — the
+    derivation only ever SHRINKS the width (AQE-coalesce analog); remote
+    or unbounded deployments size UP via the session conf / the explicit
+    knob instead."""
+    import glob as _glob
+    import os
+
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        if leaves.size() != 1:
+            return None
+        leaf = leaves.apply(0)
+        if "StreamingRelation" not in leaf.getClass().getName():
+            return None
+        opts = {}
+        it = leaf.dataSource().options().iterator()
+        while it.hasNext():
+            kv = it.next()
+            opts[kv._1()] = kv._2()
+        path = opts.get("path")
+        if not path:
+            return None
+        if "://" in path and not path.startswith("file:"):
+            return None  # non-local source: no cheap size estimate
+        local = path[len("file:"):] if path.startswith("file:") else path
+        files: list[str] = []
+        for m in _glob.glob(local):
+            if os.path.isdir(m):
+                for root, _dirs, fns in os.walk(m):
+                    files.extend(
+                        os.path.join(root, fn)
+                        for fn in fns
+                        if not fn.startswith(("_", "."))
+                    )
+            elif not os.path.basename(m).startswith(("_", ".")):
+                files.append(m)
+        if not files:
+            return None
+        total = sum(os.path.getsize(f) for f in files)
+        per_trigger = float(total)
+        mfpt = opts.get("maxFilesPerTrigger")
+        if mfpt is not None:
+            k = int(mfpt)
+            if 0 < k < len(files):
+                per_trigger = total * k / len(files)
+        est_rows = max(1, int(per_trigger) // _STREAM_EST_BYTES_PER_ROW)
+        width = -(-est_rows // _STREAM_TARGET_ROWS_PER_PARTITION)
+        n_session = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        return max(1, min(n_session, width))
+    except Exception:
+        return None
+
+
 def run_available_now(
     df: DataFrame,
     query_name: str,
@@ -277,12 +352,23 @@ def run_available_now(
     the right count tracks PER-BATCH data volume, not the session-wide
     width tuned for E-scale batch shuffles (measured on the sf0.1 drain:
     32 -> 8 partitions cut wall 9.6 -> 5.2 s at identical output; a
-    100 TB/day deployment sizes it UP from throughput instead). Default
-    None leaves the session conf untouched."""
+    100 TB/day deployment sizes it UP from throughput instead).
+
+    Default (None / env 0): SIZE-ADAPTIVE — derived from the file-stream
+    source's on-disk volume per trigger (_adaptive_state_partitions),
+    falling back to the session conf when the source cannot be sized.
+    Partition count is a pure performance knob (groups are hash-assigned
+    whole to partitions; per-group output is partition-independent).
+    Pass an explicit count (or env N>0) to pin it; -1 pins the session
+    conf (the pre-adaptive behavior)."""
     import os
 
     spark = df.sparkSession
     sp = state_partitions or int(os.environ.get("MG_STREAM_STATE_PARTITIONS", "0"))
+    if sp == 0:
+        sp = _adaptive_state_partitions(df) or 0
+    elif sp < 0:
+        sp = 0
     saved = spark.conf.get("spark.sql.shuffle.partitions") if sp else None
     if sp:
         spark.conf.set("spark.sql.shuffle.partitions", str(sp))

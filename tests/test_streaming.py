@@ -192,3 +192,65 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     assert g == b and len(g) == n
     # sessions actually split (the fixture has real >30min gaps)
     assert max(g.values()) >= 3
+
+
+def test_adaptive_state_partitions_from_source_size(spark, tmp_path):
+    """The size-adaptive state width (run_available_now default) derives
+    the partition count from the file-stream source's bytes per trigger:
+    tiny sources shrink to 1, maxFilesPerTrigger scales the estimate, the
+    width never exceeds the session conf, and a non-stream plan returns
+    None (fall back to the session conf). Width is a pure performance
+    knob — the equality tests above already pin output identity."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minigraph_spark.streaming import (
+        _STREAM_EST_BYTES_PER_ROW,
+        _STREAM_TARGET_ROWS_PER_PARTITION,
+        _adaptive_state_partitions,
+        stream_sessionize,
+    )
+
+    path = str(tmp_path / "ev")
+    os.makedirs(path)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": (np.arange(n, dtype=np.int64) % 7),
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(np.arange(n), unit="s"),
+        }
+    )
+    for k in range(2):
+        pq.write_table(
+            pa.Table.from_pandas(pdf[pdf.event_id % 2 == k], preserve_index=False),
+            f"{path}/part-{k}.parquet",
+        )
+    schema = "event_id long, user_id long, ts timestamp"
+
+    # tiny source, one file per trigger -> width 1
+    s1 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    assert _adaptive_state_partitions(stream_sessionize(s1)) == 1
+
+    # the estimate follows bytes-per-trigger: with both files in one
+    # trigger it is exactly total_bytes/12 rows, rounded up into
+    # target-sized partitions (still clamped to the session width)
+    files = [f"{path}/part-{k}.parquet" for k in range(2)]
+    total = sum(os.path.getsize(f) for f in files)
+    est_rows = max(1, total // _STREAM_EST_BYTES_PER_ROW)
+    want = -(-est_rows // _STREAM_TARGET_ROWS_PER_PARTITION)
+    n_session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s2 = spark.readStream.schema(schema).parquet(path)
+    assert _adaptive_state_partitions(stream_sessionize(s2)) == max(
+        1, min(n_session, want)
+    )
+
+    # a batch (non-stream) plan has no StreamingRelation leaf -> None
+    assert _adaptive_state_partitions(spark.createDataFrame(pdf, schema)) is None
