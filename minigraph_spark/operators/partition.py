@@ -62,6 +62,39 @@ def heavy_hitters(
     return [r[key] for r in rows]
 
 
+def make_salted_agg(
+    key: str,
+    value: str,
+    combiner: str,
+    hot_keys: list[int] | None,
+    num_salts: int = 32,
+    out: str = "agg",
+):
+    """Closure form of salted_agg with every Column expression prebuilt —
+    for per-superstep use, where rebuilding the (loop-invariant) trees
+    costs a py4j roundtrip per node every iteration. Identical plans."""
+    partial, final = _COMBINERS[combiner]
+    if not hot_keys:
+        agg_col = partial(value).alias(out)
+        return lambda df: df.groupBy(key).agg(agg_col)
+    salt = F.when(
+        F.col(key).isin(hot_keys),
+        F.pmod(F.xxhash64(F.col(value).cast("string"), F.lit(17)), F.lit(num_salts)),
+    ).otherwise(F.lit(0))
+    partial_col = partial(value).alias("_partial")
+    final_col = final("_partial").alias(out)
+
+    def _agg(df: DataFrame) -> DataFrame:
+        phase1 = (
+            df.withColumn("_salt", salt)
+            .groupBy(key, "_salt")
+            .agg(partial_col)
+        )
+        return phase1.groupBy(key).agg(final_col)
+
+    return _agg
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
@@ -78,19 +111,56 @@ def salted_agg(
     per-salt partials. Exact for algebraic combiners; semantics identical to
     a plain ``groupBy(key).agg``.
     """
-    partial, final = _COMBINERS[combiner]
-    if not hot_keys:
-        return df.groupBy(key).agg(partial(value).alias(out))
-    salt = F.when(
-        F.col(key).isin(hot_keys),
-        F.pmod(F.xxhash64(F.col(value).cast("string"), F.lit(17)), F.lit(num_salts)),
-    ).otherwise(F.lit(0))
-    phase1 = (
-        df.withColumn("_salt", salt)
-        .groupBy(key, "_salt")
-        .agg(partial(value).alias("_partial"))
-    )
-    return phase1.groupBy(key).agg(final("_partial").alias(out))
+    return make_salted_agg(key, value, combiner, hot_keys, num_salts, out)(df)
+
+
+def make_mode_agg(
+    key: str,
+    value: str,
+    hot_keys: list[int] | None = None,
+    num_salts: int = 32,
+    out: str = "agg",
+):
+    """Closure form of mode_agg with prebuilt Column trees (same rationale
+    as make_salted_agg). Identical plans."""
+    # count per (key, value); salt spreads hot groups' MERGE work — counting
+    # is algebraic so two-phase is exact over any salt. Unlike salted_agg's
+    # value-hash (useless here: value is part of the phase-1 group key, so
+    # hashing it can't split a hot (key, value) pair), the salt must vary
+    # WITHIN the pair; hashing the map partition id does, costs one xxhash64
+    # per row (same idiom as salted_agg:86), and caps phase-1 output at one
+    # row per partition per pair — the per-row monotonically_increasing_id
+    # salt emitted up to num_salts rows per partition per pair.
+    if hot_keys:
+        salt = F.when(
+            F.col(key).isin(hot_keys),
+            F.pmod(F.xxhash64(F.spark_partition_id(), F.lit(17)), F.lit(num_salts)),
+        ).otherwise(F.lit(0))
+        c_col = F.count(F.lit(1)).alias("_c")
+        cnt_col = F.sum("_c").alias("cnt")
+    else:
+        cnt_col = F.count(F.lit(1)).alias("cnt")
+    best_col = F.max(
+        F.struct(F.col("cnt"), (-F.col(value)).alias("neg"))
+    ).alias("_b")
+    key_col = F.col(key)
+    out_col = (-F.col("_b.neg")).alias(out)
+
+    def _agg(df: DataFrame) -> DataFrame:
+        base = df.select(key, value)
+        if hot_keys:
+            p1 = (
+                base.withColumn("_salt", salt)
+                .groupBy(key, value, "_salt")
+                .agg(c_col)
+            )
+            counts = p1.groupBy(key, value).agg(cnt_col)
+        else:
+            counts = base.groupBy(key, value).agg(cnt_col)
+        best = counts.groupBy(key).agg(best_col)
+        return best.select(key_col, out_col)
+
+    return _agg
 
 
 def mode_agg(
@@ -110,32 +180,7 @@ def mode_agg(
     The reference has no mode combiner (its LPA-analog uses write_min);
     SURVEY.md §2.4 derives LPA from the same skeleton.
     """
-    # count per (key, value); salt spreads hot groups' MERGE work — counting
-    # is algebraic so two-phase is exact over any salt. Unlike salted_agg's
-    # value-hash (useless here: value is part of the phase-1 group key, so
-    # hashing it can't split a hot (key, value) pair), the salt must vary
-    # WITHIN the pair; hashing the map partition id does, costs one xxhash64
-    # per row (same idiom as salted_agg:86), and caps phase-1 output at one
-    # row per partition per pair — the per-row monotonically_increasing_id
-    # salt emitted up to num_salts rows per partition per pair.
-    base = df.select(key, value)
-    if hot_keys:
-        salt = F.when(
-            F.col(key).isin(hot_keys),
-            F.pmod(F.xxhash64(F.spark_partition_id(), F.lit(17)), F.lit(num_salts)),
-        ).otherwise(F.lit(0))
-        p1 = (
-            base.withColumn("_salt", salt)
-            .groupBy(key, value, "_salt")
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        counts = p1.groupBy(key, value).agg(F.sum("_c").alias("cnt"))
-    else:
-        counts = base.groupBy(key, value).agg(F.count(F.lit(1)).alias("cnt"))
-    best = counts.groupBy(key).agg(
-        F.max(F.struct(F.col("cnt"), (-F.col(value)).alias("neg"))).alias("_b")
-    )
-    return best.select(F.col(key), (-F.col("_b.neg")).alias(out))
+    return make_mode_agg(key, value, hot_keys, num_salts, out)(df)
 
 
 def edge_cut_pid(vid: Column, num_vertices: int, k: int) -> Column:

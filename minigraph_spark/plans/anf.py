@@ -64,33 +64,38 @@ def _vid_registers(vid_col: Column) -> Column:
     )
 
 
-def _scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-    return e.join(
-        state.select(F.col("vid").alias("src"), "value"), "src"
-    ).select("dst", F.col("value").alias("msg"))
-
-
-def _combine(msgs: DataFrame) -> DataFrame:
-    return msgs.groupBy("dst").agg(
-        F.array(
-            *[F.max(F.element_at(F.col("msg"), i + 1)) for i in range(M)]
-        ).alias("agg")
-    )
-
-
-def _apply(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+def _make_superstep_fns():
+    """scatter/combine/apply closures with every loop-invariant Column
+    tree prebuilt (the 16-register combine alone is ~50 expression nodes,
+    each a py4j roundtrip when rebuilt per superstep — see
+    superstep._run_loop). Identical expression trees, built once."""
+    vid_as_src = F.col("vid").alias("src")
+    msg_col = F.col("value").alias("msg")
+    agg_col = F.array(
+        *[F.max(F.element_at(F.col("msg"), i + 1)) for i in range(M)]
+    ).alias("agg")
     merged = F.zip_with(
         "value", F.coalesce(F.col("agg"), F.col("value")),
         lambda a, b: F.greatest(a, b),
     )
-    return (
-        state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-        .select(
-            "vid",
-            merged.alias("value"),
-            (merged != F.col("value")).alias("active"),
+    value_col = merged.alias("value")
+    active_col = (merged != F.col("value")).alias("active")
+
+    def _scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+        return e.join(state.select(vid_as_src, "value"), "src").select(
+            "dst", msg_col
         )
-    )
+
+    def _combine(msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("dst").agg(agg_col)
+
+    def _apply(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+        return (
+            state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+            .select("vid", value_col, active_col)
+        )
+
+    return _scatter, _combine, _apply
 
 
 def run_anf(
@@ -110,8 +115,9 @@ def run_anf(
         "vid", _vid_registers(F.col("vid")).alias("value"),
         F.lit(True).alias("active"),
     )
+    scatter, combine, apply_fn = _make_superstep_fns()
     res = eng.run(
-        init, scatter=_scatter, combiner=_combine, apply_fn=_apply,
+        init, scatter=scatter, combiner=combine, apply_fn=apply_fn,
         frontier=True, max_iter=depth, algo="anf",
     )
     if engine is None:
@@ -173,10 +179,11 @@ def neighborhood_function(
     curve: list[tuple[int, float]] = []
     done = False
     nf = float("nan")
+    scatter, combine, apply_fn = _make_superstep_fns()
     for d in range(1, max_depth + 1):
         if not done:
             res = eng.run(
-                state, scatter=_scatter, combiner=_combine, apply_fn=_apply,
+                state, scatter=scatter, combiner=combine, apply_fn=apply_fn,
                 frontier=True, max_iter=1, algo="anf_curve",
             )
             state = res.state

@@ -53,19 +53,22 @@ def run_lpa(
         "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
     )
 
+    # loop-invariant Column trees built once, not per superstep (see
+    # superstep._run_loop note on the per-iteration py4j floor)
+    _vid_as_src = F.col("vid").alias("src")
+    _msg_col = F.col("value").alias("msg")
+    _new_val = F.coalesce(F.col("agg"), F.col("value"))
+    _value_col = _new_val.alias("value")
+    _active_col = (_new_val != F.col("value")).alias("active")
+
     def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-        return e.join(
-            state.select(F.col("vid").alias("src"), "value"), "src"
-        ).select("dst", F.col("value").alias("msg"))
+        return e.join(state.select(_vid_as_src, "value"), "src").select(
+            "dst", _msg_col
+        )
 
     def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
         joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-        new_val = F.coalesce(F.col("agg"), F.col("value"))
-        return joined.select(
-            "vid",
-            new_val.alias("value"),
-            (new_val != F.col("value")).alias("active"),
-        )
+        return joined.select("vid", _value_col, _active_col)
 
     res = eng.run(
         init, scatter=scatter, combiner="mode", apply_fn=apply_fn,

@@ -162,17 +162,21 @@ def run_pagerank(
             outdeg_expr.cast("double").alias("outdeg"),
         )
 
+        # loop-invariant Column trees built ONCE (not per superstep): plan
+        # construction is a py4j roundtrip per expression node, a fixed
+        # driver cost each iteration (see superstep._run_loop note)
+        _has_out = F.col("outdeg").isNotNull()
+        _vid_as_src = F.col("vid").alias("src")
+        _c_col = (F.col("value") / F.col("outdeg")).alias("c")
+        _msg_col = (
+            (F.col("c") * F.col(weight_col).cast("double")).alias("msg")
+            if weight_col is not None
+            else F.col("c").alias("msg")
+        )
+
         def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-            contrib = state.filter(F.col("outdeg").isNotNull()).select(
-                F.col("vid").alias("src"), (F.col("value") / F.col("outdeg")).alias("c")
-            )
-            joined = e.join(contrib, "src")
-            if weight_col is not None:
-                return joined.select(
-                    "dst",
-                    (F.col("c") * F.col(weight_col).cast("double")).alias("msg"),
-                )
-            return joined.select("dst", F.col("c").alias("msg"))
+            contrib = state.filter(_has_out).select(_vid_as_src, _c_col)
+            return e.join(contrib, "src").select("dst", _msg_col)
 
         # dangling mass via the engine's Aggregate hook (extra_agg): the sum
         # of rank over out-degree-0 vertices is evaluated in the SAME
@@ -188,6 +192,21 @@ def run_pagerank(
         # fuse=1 (extra_agg contract); fuse>1 keeps the in-plan scalar.
         use_ctx_dangling = fuse == 1
 
+        # loop-invariant subtrees of apply (the per-iteration dangling
+        # literal stays inside apply_fn; these compose around it
+        # unchanged — the expression tree is identical to the inline form)
+        _coal_agg = F.coalesce(F.col("agg"), F.lit(0.0))
+        _val_col = F.col("value")
+        _lit_alpha = F.lit(alpha)
+        if personalize is not None:
+            _p_vid = p_of(F.col("vid"))
+            _lit_tele = F.lit(1 - alpha) * _p_vid
+        else:
+            # keep the uniform-teleport arithmetic EXACTLY as before
+            # ((1-alpha)/n folded driver-side): the 6-dp oracles are
+            # bit-sensitive to re-associating these float ops
+            _lit_tele = F.lit((1 - alpha) / n)
+
         def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
             joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
             if use_ctx_dangling:
@@ -200,25 +219,13 @@ def run_pagerank(
                 dangling = F.coalesce(F.col("_dangling"), F.lit(0.0))
                 joined = joined.crossJoin(F.broadcast(total))
             if personalize is not None:
-                p = p_of(F.col("vid"))
-                new_val = (
-                    F.lit(1 - alpha) * p
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("agg"), F.lit(0.0)) + dangling * p)
-                )
+                new_val = _lit_tele + _lit_alpha * (_coal_agg + dangling * _p_vid)
             else:
-                # keep the uniform-teleport arithmetic EXACTLY as before
-                # ((1-alpha)/n folded driver-side): the 6-dp oracles are
-                # bit-sensitive to re-associating these float ops
-                new_val = (
-                    F.lit((1 - alpha) / n)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("agg"), F.lit(0.0)) + dangling / n)
-                )
+                new_val = _lit_tele + _lit_alpha * (_coal_agg + dangling / n)
             return joined.select(
                 "vid",
                 new_val.alias("value"),
-                (F.abs(new_val - F.col("value")) > tol).alias("active"),
+                (F.abs(new_val - _val_col) > tol).alias("active"),
                 "outdeg",
             )
 
@@ -264,25 +271,26 @@ def run_pagerank(
             )
         )
 
+        # loop-invariant Column trees, built once (see standard variant)
+        _vid_as_src = F.col("vid").alias("src")
+        _msg_col = F.col("value").alias("msg")
+        _nxt = F.when(
+            F.col("indeg").isNotNull(),
+            F.lit(gamma) * F.col("agg") / F.col("indeg"),
+        ).otherwise(F.col("value"))
+        _changed = (F.col("value") - _nxt) * (F.col("value") - _nxt) > F.lit(epsilon)
+        _value_col = F.when(_changed, _nxt).otherwise(F.col("value")).alias("value")
+        _active_col = _changed.alias("active")
+
         def scatter_mg(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-            return e.join(
-                state.select(F.col("vid").alias("src"), "value"), "src"
-            ).select("dst", F.col("value").alias("msg"))
+            return e.join(state.select(_vid_as_src, "value"), "src").select(
+                "dst", _msg_col
+            )
 
         def apply_mg(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-            nxt = F.when(
-                F.col("indeg").isNotNull(),
-                F.lit(gamma) * F.col("agg") / F.col("indeg"),
-            ).otherwise(F.col("value"))
-            changed = (F.col("value") - nxt) * (F.col("value") - nxt) > F.lit(epsilon)
             return (
                 state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-                .select(
-                    "vid",
-                    F.when(changed, nxt).otherwise(F.col("value")).alias("value"),
-                    changed.alias("active"),
-                    "indeg",
-                )
+                .select("vid", _value_col, _active_col, "indeg")
             )
 
         res = eng.run(

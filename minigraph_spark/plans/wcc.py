@@ -21,77 +21,118 @@ from ..operators.project import symmetrize_raw
 from ..operators.superstep import SuperstepEngine, SuperstepResult
 
 
-def _scatter_label(edges: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-    return edges.join(
-        state.select(F.col("vid").alias("src"), "value"), "src"
-    ).select("dst", F.col("value").alias("msg"))
+# The scatter/apply builders below are FACTORIES returning closures with
+# every loop-invariant Column expression prebuilt: per-superstep plan
+# construction otherwise re-pays a py4j roundtrip per expression node
+# (measured ~1100 JVM calls per hook+jump superstep — a driver-side floor
+# that dominates small-graph rounds). The closures build the exact same
+# expression trees as before, once. Only plan-bound references
+# (merged["value"] on the self-join) remain per-iteration.
 
 
-def _apply_min(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-    joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+def _make_scatter_label():
+    vid_as_src = F.col("vid").alias("src")
+    msg_col = F.col("value").alias("msg")
+
+    def _scatter(edges: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+        return edges.join(state.select(vid_as_src, "value"), "src").select(
+            "dst", msg_col
+        )
+
+    return _scatter
+
+
+def _make_apply_min():
     improved = F.col("agg").isNotNull() & (F.col("agg") < F.col("value"))
-    return joined.select(
-        "vid",
-        F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value"),
-        improved.alias("active"),
+    value_col = (
+        F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value")
     )
+    active_col = improved.alias("active")
+
+    def _apply(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+        joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+        return joined.select("vid", value_col, active_col)
+
+    return _apply
 
 
-def _apply_min_jump(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+def _jump_cols():
+    return F.col("vid").alias("_jv"), F.col("value").alias("_jp")
+
+
+def _make_apply_min_jump():
     """_apply_min plus one pointer-jumping (path-halving) hop: labels are
     vertex ids, so chase label(label(v)) through a self-join. Valid because
     label(v) is always the id of a vertex whose ancestors are ancestors of v
     (transitivity), and labels only decrease — convergence drops from
     O(diameter) to O(log n) global rounds while the fixpoint is unchanged."""
-    # Lazy localCheckpoint, NOT persist(): the self-join references merged
-    # twice, and cache-manager substitution is structural — it reliably hits
-    # one side but misses the deduplicated side of a self-join, silently
-    # re-executing the whole E-row scatter+combine a second time per
-    # superstep (measured 2x superstep wall on the big-frontier rounds).
-    # The lazy checkpoint instead rewrites the plan to a single shared
-    # LogicalRDD leaf immediately, so both join branches share one
-    # computation by construction; it also pins the leaf's hashpartitioning
-    # (vid) so the jump side needs no exchange.
-    merged = _apply_min(state, agg, ctx).localCheckpoint(eager=False)
-    jump = merged.select(F.col("vid").alias("_jv"), F.col("value").alias("_jp"))
-    jumped = F.least(merged["value"], F.coalesce(jump["_jp"], merged["value"]))
-    out = merged.join(jump, merged["value"] == jump["_jv"], "left").select(
-        merged["vid"],
-        jumped.alias("value"),
-        (merged["active"] | (jumped < merged["value"])).alias("active"),
-    )
-    # the jump join keys on `value`, leaving the output value-partitioned;
-    # repartition back to vid (one V-row exchange) so the NEXT superstep's
-    # scatter join and apply join are both exchange-free (saves two).
-    return out.repartition(ctx["num_partitions"], "vid")
+    base = _make_apply_min()
+    jv_col, jp_col = _jump_cols()
+
+    def _apply(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+        # Lazy localCheckpoint, NOT persist(): the self-join references
+        # merged twice, and cache-manager substitution is structural — it
+        # reliably hits one side but misses the deduplicated side of a
+        # self-join, silently re-executing the whole E-row scatter+combine
+        # a second time per superstep (measured 2x superstep wall on the
+        # big-frontier rounds). The lazy checkpoint instead rewrites the
+        # plan to a single shared LogicalRDD leaf immediately, so both join
+        # branches share one computation by construction; it also pins the
+        # leaf's hashpartitioning (vid) so the jump side needs no exchange.
+        merged = base(state, agg, ctx).localCheckpoint(eager=False)
+        jump = merged.select(jv_col, jp_col)
+        jumped = F.least(merged["value"], F.coalesce(jump["_jp"], merged["value"]))
+        out = merged.join(jump, merged["value"] == jump["_jv"], "left").select(
+            merged["vid"],
+            jumped.alias("value"),
+            (merged["active"] | (jumped < merged["value"])).alias("active"),
+        )
+        # the jump join keys on `value`, leaving the output value-
+        # partitioned; repartition back to vid (one V-row exchange) so the
+        # NEXT superstep's scatter join and apply join are both
+        # exchange-free (saves two).
+        return out.repartition(ctx["num_partitions"], "vid")
+
+    return _apply
 
 
-def _apply_min_hook(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+def _hook_cols():
+    """The shared hook-phase expressions of the two hooking applies."""
+    cand_c = F.least(
+        F.col("value"), F.coalesce(F.col("agg"), F.col("value"))
+    ).alias("_c")
+    cand_old = F.col("value").alias("_old")
+    hook_pred = F.col("_c") < F.col("_old")
+    hook_key = F.col("_old").alias("vid")
+    hook_min = F.min("_c").alias("_h")
+    merged_value = F.least(
+        F.col("_c"), F.coalesce(F.col("_h"), F.col("_c"))
+    ).alias("value")
+    merged_active = (
+        (F.col("_c") < F.col("_old"))
+        | (F.col("_h").isNotNull() & (F.col("_h") < F.col("_c")))
+    ).alias("active")
+    return cand_c, cand_old, hook_pred, hook_key, hook_min, merged_value, merged_active
+
+
+def _make_apply_min_hook():
     """_apply_min plus SV-style hooking, without the pointer jump (run_wcc
     hooking=True, pointer_jump=False — previously silently ignored). Same
     fixpoint: hooks only deliver ids of ancestors-of-ancestors."""
-    cand = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-    cand = cand.select(
-        "vid",
-        F.least(F.col("value"), F.coalesce(F.col("agg"), F.col("value"))).alias("_c"),
-        F.col("value").alias("_old"),
-    ).localCheckpoint(eager=False)  # shared by hook + merge branches (see jump note)
-    hooks = (
-        cand.filter(F.col("_c") < F.col("_old"))
-        .groupBy(F.col("_old").alias("vid"))
-        .agg(F.min("_c").alias("_h"))
-    )
-    return cand.join(hooks, "vid", "left").select(
-        "vid",
-        F.least(F.col("_c"), F.coalesce(F.col("_h"), F.col("_c"))).alias("value"),
-        (
-            (F.col("_c") < F.col("_old"))
-            | (F.col("_h").isNotNull() & (F.col("_h") < F.col("_c")))
-        ).alias("active"),
-    )
+    cand_c, cand_old, hook_pred, hook_key, hook_min, m_val, m_act = _hook_cols()
+
+    def _apply(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+        cand = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+        cand = cand.select("vid", cand_c, cand_old).localCheckpoint(
+            eager=False
+        )  # shared by hook + merge branches (see jump note)
+        hooks = cand.filter(hook_pred).groupBy(hook_key).agg(hook_min)
+        return cand.join(hooks, "vid", "left").select("vid", m_val, m_act)
+
+    return _apply
 
 
-def _apply_min_hook_jump(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+def _make_apply_min_hook_jump():
     """_apply_min plus Shiloach-Vishkin-style hooking plus a pointer jump.
 
     Hooking routes each vertex's best candidate label to its CURRENT label
@@ -103,37 +144,40 @@ def _apply_min_hook_jump(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFra
     observed 33 rounds / 24 of them single-active on a 200-conversation
     demo, vs 5 with hooking). Same fixpoint: hooks only ever deliver ids of
     ancestors-of-ancestors, which min-label may legally adopt."""
-    cand = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-    cand = cand.select(
-        "vid",
-        F.least(F.col("value"), F.coalesce(F.col("agg"), F.col("value"))).alias("_c"),
-        F.col("value").alias("_old"),
-    ).localCheckpoint(eager=False)  # shared by hook + merge branches (see jump note)
-    hooks = (
-        cand.filter(F.col("_c") < F.col("_old"))
-        .groupBy(F.col("_old").alias("vid"))
-        .agg(F.min("_c").alias("_h"))
-    )
-    merged = (
-        cand.join(hooks, "vid", "left")
-        .select(
-            "vid",
-            F.least(F.col("_c"), F.coalesce(F.col("_h"), F.col("_c"))).alias("value"),
-            (
-                (F.col("_c") < F.col("_old"))
-                | (F.col("_h").isNotNull() & (F.col("_h") < F.col("_c")))
-            ).alias("active"),
+    cand_c, cand_old, hook_pred, hook_key, hook_min, m_val, m_act = _hook_cols()
+    jv_col, jp_col = _jump_cols()
+
+    def _apply(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+        cand = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+        cand = cand.select("vid", cand_c, cand_old).localCheckpoint(
+            eager=False
+        )  # shared by hook + merge branches (see jump note)
+        hooks = cand.filter(hook_pred).groupBy(hook_key).agg(hook_min)
+        merged = (
+            cand.join(hooks, "vid", "left")
+            .select("vid", m_val, m_act)
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
-    jump = merged.select(F.col("vid").alias("_jv"), F.col("value").alias("_jp"))
-    jumped = F.least(merged["value"], F.coalesce(jump["_jp"], merged["value"]))
-    out = merged.join(jump, merged["value"] == jump["_jv"], "left").select(
-        merged["vid"],
-        jumped.alias("value"),
-        (merged["active"] | (jumped < merged["value"])).alias("active"),
-    )
-    return out.repartition(ctx["num_partitions"], "vid")
+        jump = merged.select(jv_col, jp_col)
+        jumped = F.least(merged["value"], F.coalesce(jump["_jp"], merged["value"]))
+        out = merged.join(jump, merged["value"] == jump["_jv"], "left").select(
+            merged["vid"],
+            jumped.alias("value"),
+            (merged["active"] | (jumped < merged["value"])).alias("active"),
+        )
+        return out.repartition(ctx["num_partitions"], "vid")
+
+    return _apply
+
+
+def _pick_apply(hooking: bool, directed: bool, pointer_jump: bool):
+    if hooking and not directed and pointer_jump:
+        return _make_apply_min_hook_jump()
+    if hooking and not directed:
+        return _make_apply_min_hook()
+    if pointer_jump:
+        return _make_apply_min_jump()
+    return _make_apply_min()
 
 
 def run_wcc(
@@ -187,19 +231,11 @@ def run_wcc(
     init = eng.vertices().select(
         "vid", F.col("vid").alias("value"), F.lit(True).alias("active")
     )
-    if hooking and not directed and pointer_jump:
-        apply_fn = _apply_min_hook_jump
-    elif hooking and not directed:
-        apply_fn = _apply_min_hook
-    elif pointer_jump:
-        apply_fn = _apply_min_jump
-    else:
-        apply_fn = _apply_min
     res = eng.run(
         init,
-        scatter=_scatter_label,
+        scatter=_make_scatter_label(),
         combiner="min",
-        apply_fn=apply_fn,
+        apply_fn=_pick_apply(hooking, directed, pointer_jump),
         frontier=True,
         max_iter=max_iter,
         algo="wcc_directed" if directed else "wcc",
@@ -274,19 +310,11 @@ def run_wcc_incremental(
             (F.col("_touched").isNotNull() | F.col("_prev").isNull()).alias("active"),
         )
     )
-    if hooking and not directed and pointer_jump:
-        apply_fn = _apply_min_hook_jump
-    elif hooking and not directed:
-        apply_fn = _apply_min_hook
-    elif pointer_jump:
-        apply_fn = _apply_min_jump
-    else:
-        apply_fn = _apply_min
     res = eng.run(
         init,
-        scatter=_scatter_label,
+        scatter=_make_scatter_label(),
         combiner="min",
-        apply_fn=apply_fn,
+        apply_fn=_pick_apply(hooking, directed, pointer_jump),
         frontier=True,
         max_iter=max_iter,
         algo="wcc_incremental",
