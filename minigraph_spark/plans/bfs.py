@@ -20,6 +20,34 @@ from ..operators.superstep import (
 )
 
 
+def _make_superstep_fns(weight_col: str | None):
+    """scatter/apply closures with loop-invariant Column trees prebuilt
+    (one py4j roundtrip per node per superstep otherwise — see
+    superstep._run_loop note). Shared by the batch, incremental, and
+    decremental faces; expression trees identical to the inline form."""
+    step = F.col(weight_col) if weight_col else F.lit(1)
+    vid_as_src = F.col("vid").alias("src")
+    msg_col = (F.col("value") + step).alias("msg")
+    improved = F.col("agg").isNotNull() & (
+        F.col("value").isNull() | (F.col("agg") < F.col("value"))
+    )
+    value_col = (
+        F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value")
+    )
+    active_col = improved.alias("active")
+
+    def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
+        return e.join(state.select(vid_as_src, "value"), "src").select(
+            "dst", msg_col
+        )
+
+    def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
+        joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
+        return joined.select("vid", value_col, active_col)
+
+    return scatter, apply_fn
+
+
 def run_bfs(
     edges: DataFrame,
     root: int,
@@ -43,23 +71,7 @@ def run_bfs(
         (F.col("vid") == root).alias("active"),
     )
 
-    def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-        step = F.col(weight_col) if weight_col else F.lit(1)
-        return e.join(
-            state.select(F.col("vid").alias("src"), "value"), "src"
-        ).select("dst", (F.col("value") + step).alias("msg"))
-
-    def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-        joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-        improved = F.col("agg").isNotNull() & (
-            F.col("value").isNull() | (F.col("agg") < F.col("value"))
-        )
-        return joined.select(
-            "vid",
-            F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value"),
-            improved.alias("active"),
-        )
-
+    scatter, apply_fn = _make_superstep_fns(weight_col)
     res = eng.run(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs",
@@ -119,23 +131,7 @@ def run_bfs_incremental(
         )
     )
 
-    def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-        step = F.col(weight_col) if weight_col else F.lit(1)
-        return e.join(
-            state.select(F.col("vid").alias("src"), "value"), "src"
-        ).select("dst", (F.col("value") + step).alias("msg"))
-
-    def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-        joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-        improved = F.col("agg").isNotNull() & (
-            F.col("value").isNull() | (F.col("agg") < F.col("value"))
-        )
-        return joined.select(
-            "vid",
-            F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value"),
-            improved.alias("active"),
-        )
-
+    scatter, apply_fn = _make_superstep_fns(weight_col)
     res = eng.run(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs_incremental",
@@ -374,23 +370,7 @@ def run_bfs_decremental(
         )
     )
 
-    def scatter(e: DataFrame, state: DataFrame, ctx: dict) -> DataFrame:
-        step = F.col(weight_col) if weight_col else F.lit(1)
-        return e.join(
-            state.select(F.col("vid").alias("src"), "value"), "src"
-        ).select("dst", (F.col("value") + step).alias("msg"))
-
-    def apply_fn(state: DataFrame, agg: DataFrame, ctx: dict) -> DataFrame:
-        joined = state.join(agg.withColumnRenamed("dst", "vid"), "vid", "left")
-        improved = F.col("agg").isNotNull() & (
-            F.col("value").isNull() | (F.col("agg") < F.col("value"))
-        )
-        return joined.select(
-            "vid",
-            F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value"),
-            improved.alias("active"),
-        )
-
+    scatter, apply_fn = _make_superstep_fns(weight_col)
     res = eng.run(
         init, scatter=scatter, combiner="min", apply_fn=apply_fn,
         frontier=True, max_iter=max_iter, algo="bfs_decremental",
