@@ -518,6 +518,12 @@ def ivf_build(
     Training is driver-side Lloyd on a seeded `train_fraction` sample
     (collected: fraction*N*dim doubles — the standard bounded-sample
     training contract; pass None to collect ALL rows, small corpora only).
+    Driver-memory formula: the collected sample costs about
+    ``train_fraction * N * dim * 8`` bytes of driver heap (e.g. 10^9
+    vectors x 64 dims at the 1% default is ~5 GB) — at large N set
+    train_fraction from a budget, ``train_fraction <=
+    driver_heap_bytes_available / (N * dim * 8)``, not from the default;
+    a few hundred vectors per centroid is plenty for a coarse quantizer.
     k-means++-free deterministic init: num_centroids rows EVENLY SPACED in
     the id-sorted sample (smallest-first init degenerates when ids
     correlate with cluster structure — all seeds land in one cluster and
